@@ -1,0 +1,97 @@
+"""Transformation models: SVF (scaling and squaring), B-spline FFD, SVFFD.
+
+Functional redesign of /root/reference/utils/transformation.py.  Each model
+is a callable object holding only static precomputed constants (identity
+grid, spreading matrices); the forward map is pure and jit/vmap/shard-safe.
+The squaring loop is a ``lax.scan`` so it traces once regardless of step
+count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bspline import CubicBSplineFFD3D, control_grid_size
+from ..ops.grids import identity_grid, normalised_to_voxel, voxel_to_normalised
+from ..ops.resample import grid_sample
+
+
+class SVF3D:
+    """Stationary velocity field, integrated by scaling and squaring.
+
+    ``v`` is a ``(3, D, H, W)`` velocity in voxel units.  Returns
+    ``(transformation, displacement)`` where the transformation is in
+    normalised ``[-1, 1]`` coordinates (ready for :func:`grid_sample`) and
+    the displacement is in voxel units — matching the reference
+    (/root/reference/utils/transformation.py:51-76).
+    """
+
+    def __init__(self, dims, no_steps: int = 12):
+        self.dims = tuple(int(d) for d in dims)
+        self.no_steps = int(no_steps)
+        self.id_grid = identity_grid(self.dims)
+
+    def __call__(self, v: jnp.ndarray):
+        disp0 = voxel_to_normalised(v) / float(2 ** self.no_steps)
+        id_grid = self.id_grid
+
+        def squaring_step(disp, _):
+            transformation = id_grid + disp
+            disp = disp + grid_sample(disp, transformation, mode="linear")
+            return disp, None
+
+        disp, _ = jax.lax.scan(squaring_step, disp0, None, length=self.no_steps)
+        transformation = id_grid + disp
+        return transformation, normalised_to_voxel(disp)
+
+
+class BSplineFFD3D:
+    """Dense velocity from cubic B-spline control points (no integration).
+
+    Reference: /root/reference/utils/transformation.py:126-153.  The forward
+    returns only the dense field (in the reference this model is used as a
+    parameterisation layer, composed with SVF integration by SVFFD).
+    """
+
+    def __init__(self, dims, cps):
+        self.dims = tuple(int(d) for d in dims)
+        self.cps = tuple(int(c) for c in cps)
+        self.control_dims = control_grid_size(self.dims, self.cps)
+        self._ffd = CubicBSplineFFD3D(self.dims, self.cps)
+
+    def dense_velocity(self, cp: jnp.ndarray) -> jnp.ndarray:
+        return self._ffd(cp)
+
+    def __call__(self, cp: jnp.ndarray) -> jnp.ndarray:
+        return self._ffd(cp)
+
+
+class SVFFD3D:
+    """B-spline-parameterised SVF: spread control points, then integrate.
+
+    Reference: /root/reference/utils/transformation.py:156-164.
+    """
+
+    def __init__(self, dims, cps, no_steps: int = 12):
+        self.dims = tuple(int(d) for d in dims)
+        self.cps = tuple(int(c) for c in cps)
+        self.ffd = BSplineFFD3D(dims, cps)
+        self.svf = SVF3D(dims, no_steps)
+        self.control_dims = self.ffd.control_dims
+
+    def __call__(self, cp: jnp.ndarray):
+        return self.svf(self.ffd(cp))
+
+
+def make_transformation(kind: str, dims, cps=None, no_steps: int = 12):
+    """Factory used by the config layer (types mirror the reference names)."""
+    if kind in ("SVF_3D", "SVF3D"):
+        return SVF3D(dims, no_steps)
+    if kind in ("SVFFD_3D", "SVFFD3D"):
+        assert cps is not None, "SVFFD requires control point spacing (cps)"
+        return SVFFD3D(dims, cps, no_steps)
+    if kind in ("Cubic_B_spline_FFD_3D", "BSplineFFD3D"):
+        assert cps is not None
+        return BSplineFFD3D(dims, cps)
+    raise ValueError(f"unknown transformation model: {kind}")

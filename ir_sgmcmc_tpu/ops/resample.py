@@ -1,0 +1,128 @@
+"""3D resampling (the TPU equivalent of ``torch.nn.functional.grid_sample``).
+
+This is the single most load-bearing op in the framework: it implements both
+image warping (reference: /root/reference/utils/registration.py:17-30) and
+each squaring step of SVF integration (utils/transformation.py:63-76).
+
+Semantics match torch ``grid_sample(mode=..., padding_mode='border',
+align_corners=True)``:
+
+* grid values are normalised coordinates in ``[-1, 1]``; with
+  ``align_corners=True`` the mapping to voxel indices is
+  ``i = (g + 1) / 2 * (S - 1)``,
+* ``border`` padding clamps coordinates to the valid index range,
+* ``nearest`` rounds half-to-even (like ``std::nearbyint``).
+
+Implementation notes (TPU): the trilinear kernel is expressed as eight
+flat-index gathers + VPU blends.  XLA lowers the gathers onto the TPU's
+dynamic-gather path; everything else fuses.  All shapes are static, so the
+op jits cleanly inside ``lax.scan`` loops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _to_voxel_coords(grid: jnp.ndarray, shape) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Normalised ``(3, D, H, W)`` grid -> clamped voxel coords (ix, iy, iz)."""
+    D, H, W = shape
+    ix = (grid[0] + 1.0) * 0.5 * (W - 1)
+    iy = (grid[1] + 1.0) * 0.5 * (H - 1)
+    iz = (grid[2] + 1.0) * 0.5 * (D - 1)
+    # border padding: clamp the *coordinate* before interpolation
+    ix = jnp.clip(ix, 0.0, W - 1)
+    iy = jnp.clip(iy, 0.0, H - 1)
+    iz = jnp.clip(iz, 0.0, D - 1)
+    return ix, iy, iz
+
+
+def _gather(vol_flat: jnp.ndarray, xi, yi, zi, H, W):
+    """Gather ``vol_flat[(C,) DHW]`` at integer voxel coords ``(D, H, W)``."""
+    idx = (zi * H + yi) * W + xi
+    return jnp.take(vol_flat, idx.reshape(-1), axis=-1).reshape(
+        vol_flat.shape[:-1] + idx.shape
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, mode: str = "linear") -> jnp.ndarray:
+    """Sample ``vol`` at the locations of ``grid``.
+
+    :param vol: ``(D, H, W)`` or ``(C, D, H, W)`` volume.
+    :param grid: ``(3, D', H', W')`` normalised coordinates (channel 0 = x/W).
+    :param mode: ``'linear'`` (trilinear) or ``'nearest'``.
+    :return: warped volume with the spatial shape of ``grid``.
+    """
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[None]
+    C = vol.shape[0]
+    D, H, W = vol.shape[-3:]
+    out_shape = grid.shape[1:]
+
+    ix, iy, iz = _to_voxel_coords(grid, (D, H, W))
+    vol_flat = vol.reshape(C, -1)
+
+    if mode == "nearest":
+        xi = jnp.rint(ix).astype(jnp.int32)
+        yi = jnp.rint(iy).astype(jnp.int32)
+        zi = jnp.rint(iz).astype(jnp.int32)
+        out = _gather(vol_flat, xi, yi, zi, H, W)
+    elif mode == "linear":
+        x0 = jnp.floor(ix)
+        y0 = jnp.floor(iy)
+        z0 = jnp.floor(iz)
+        fx = ix - x0
+        fy = iy - y0
+        fz = iz - z0
+
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        z0i = z0.astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, W - 1)
+        y1i = jnp.minimum(y0i + 1, H - 1)
+        z1i = jnp.minimum(z0i + 1, D - 1)
+
+        # gather the 8 corners, blend on the VPU
+        c000 = _gather(vol_flat, x0i, y0i, z0i, H, W)
+        c100 = _gather(vol_flat, x1i, y0i, z0i, H, W)
+        c010 = _gather(vol_flat, x0i, y1i, z0i, H, W)
+        c110 = _gather(vol_flat, x1i, y1i, z0i, H, W)
+        c001 = _gather(vol_flat, x0i, y0i, z1i, H, W)
+        c101 = _gather(vol_flat, x1i, y0i, z1i, H, W)
+        c011 = _gather(vol_flat, x0i, y1i, z1i, H, W)
+        c111 = _gather(vol_flat, x1i, y1i, z1i, H, W)
+
+        c00 = c000 + (c100 - c000) * fx
+        c10 = c010 + (c110 - c010) * fx
+        c01 = c001 + (c101 - c001) * fx
+        c11 = c011 + (c111 - c011) * fx
+        c0 = c00 + (c10 - c00) * fy
+        c1 = c01 + (c11 - c01) * fy
+        out = c0 + (c1 - c0) * fz
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    out = out.reshape((C,) + out_shape)
+    return out[0] if squeeze else out
+
+
+def warp(moving: jnp.ndarray, transformation: jnp.ndarray, *, method: str = "linear") -> jnp.ndarray:
+    """Warp an image/segmentation by a dense transformation.
+
+    The dtype dispatch of the reference ``RegistrationModule``
+    (/root/reference/utils/registration.py:17-41) becomes an explicit
+    ``method`` argument: use ``'linear'`` for intensity images and
+    ``'nearest'`` for masks/segmentations.  Integer/bool inputs are sampled
+    as float and cast back, matching the reference.
+    """
+    in_dtype = moving.dtype
+    vol = moving.astype(jnp.float32)
+    out = grid_sample(vol, transformation, mode=method)
+    if method == "nearest" and in_dtype != jnp.float32:
+        out = out.astype(in_dtype)
+    return out

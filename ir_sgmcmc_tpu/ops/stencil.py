@@ -1,0 +1,137 @@
+"""Stencil operators: finite differences, separable convolutions, box filters.
+
+All stencils are implemented as static shift-and-add expressions over
+replicate-padded volumes.  On TPU this is the right design: every tap is a
+VPU add/multiply-accumulate that XLA fuses into a single elementwise kernel —
+no gathers, no convolution lowering, no dynamic shapes.
+
+Reference semantics:
+* gradient operator — /root/reference/utils/diff_op.py:62-96
+* separable 3D convolution — /root/reference/utils/util.py:350-406
+* LCC box filter — /root/reference/model/loss.py:54-59,102-111
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .grids import det_jacobian
+
+
+def _replicate_pad_axis(x: jnp.ndarray, axis: int, lo: int, hi: int) -> jnp.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (lo, hi)
+    return jnp.pad(x, pad, mode="edge")
+
+
+def conv1d_axis(x: jnp.ndarray, kernel, axis: int) -> jnp.ndarray:
+    """Correlate ``x`` with a 1D ``kernel`` along ``axis`` (replicate padding).
+
+    The kernel length must be odd; output has the same shape as the input.
+    Implemented as an unrolled shift-and-add so XLA fuses it into one VPU
+    kernel.
+    """
+    k = jnp.asarray(kernel, dtype=x.dtype)
+    taps = int(k.shape[0])
+    assert taps % 2 == 1, "kernel length must be odd"
+    r = taps // 2
+    xp = _replicate_pad_axis(x, axis, r, r)
+    n = x.shape[axis]
+    out = None
+    for j in range(taps):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(j, j + n)
+        term = k[j] * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def separable_conv3d(field: jnp.ndarray, kernel) -> jnp.ndarray:
+    """Separable 3D convolution with the same odd 1D kernel along D, H, W.
+
+    Equivalent (including replicate padding, which clamps independently per
+    axis) to the reference's three grouped convolutions
+    (/root/reference/utils/util.py:394-406).
+    """
+    out = field
+    for axis in (-3, -2, -1):
+        out = conv1d_axis(out, kernel, axis)
+    return out
+
+
+def box_filter3d(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Sum over a cubic ``(2r+1)^3`` window with replicate padding.
+
+    A box kernel is exactly separable, so the reference's dense
+    ``nn.Conv3d`` of ones (/root/reference/model/loss.py:57) becomes three
+    shift-and-add passes.
+    """
+    ones = jnp.ones((2 * radius + 1,), dtype=x.dtype)
+    return separable_conv3d(x, ones)
+
+
+def gradient(field: jnp.ndarray, *, normalised_spacing: bool = False) -> jnp.ndarray:
+    """Forward-difference Jacobian of a ``(3, D, H, W)`` vector field.
+
+    :param normalised_spacing: when the input is a transformation in
+        normalised ``[-1, 1]`` coordinates, divide each derivative by the
+        normalised voxel spacing ``2/(S-1)`` of its axis so that the identity
+        transformation has ``det J = 1``.
+    :return: ``(3, 3, D, H, W)`` Jacobian; ``[c, d]`` is ∂field_c/∂x_d with
+        d = 0,1,2 ↔ x (W axis), y (H axis), z (D axis).
+
+    Matches /root/reference/utils/diff_op.py:78-96: forward differences with
+    the trailing edge replicated (so the last difference along each axis is
+    duplicated, not zeroed).
+    """
+    D, H, W = field.shape[-3:]
+
+    def fwd_diff(axis: int) -> jnp.ndarray:
+        n = field.shape[axis]
+        sl_hi = [slice(None)] * field.ndim
+        sl_lo = [slice(None)] * field.ndim
+        sl_hi[axis] = slice(1, n)
+        sl_lo[axis] = slice(0, n - 1)
+        d = field[tuple(sl_hi)] - field[tuple(sl_lo)]
+        return _replicate_pad_axis(d, axis, 0, 1)
+
+    d_dx = fwd_diff(-1)
+    d_dy = fwd_diff(-2)
+    d_dz = fwd_diff(-3)
+
+    if normalised_spacing:
+        d_dx = d_dx * ((W - 1) / 2.0)
+        d_dy = d_dy * ((H - 1) / 2.0)
+        d_dz = d_dz * ((D - 1) / 2.0)
+
+    # insert the derivative axis right after the channel axis: unbatched
+    # (3, 3, D, H, W), batched (N, 3, 3, D, H, W)
+    return jnp.stack([d_dx, d_dy, d_dz], axis=field.ndim - 3)
+
+
+def reg_energy(field: jnp.ndarray) -> jnp.ndarray:
+    """Squared Frobenius norm of the field Jacobian, ``y = sum ||∇v||²``.
+
+    The "chi-square" energy used by every regularisation loss
+    (/root/reference/model/loss.py:152-161).  Accepts ``(3, D, H, W)`` or a
+    batched ``(N, 3, D, H, W)``; reduces over everything except the batch.
+    """
+    jac = gradient(field)
+    if field.ndim == 4:
+        return jnp.sum(jac * jac)
+    return jnp.sum(jac * jac, axis=tuple(range(1, jac.ndim)))
+
+
+def log_det_jacobian(transformation: jnp.ndarray) -> jnp.ndarray:
+    """log |J| of a normalised-coordinate transformation ``(3, D, H, W)``.
+
+    NaN where the transformation folds (det J <= 0), matching
+    /root/reference/utils/util.py:209-212.  Batched ``(N, 3, D, H, W)``
+    inputs are mapped over the leading axis.
+    """
+    if transformation.ndim == 5:
+        import jax
+
+        return jax.vmap(log_det_jacobian)(transformation)
+    jac = gradient(transformation, normalised_spacing=True)
+    return jnp.log(det_jacobian(jac))

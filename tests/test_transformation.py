@@ -1,0 +1,109 @@
+"""Transformation models: SVF integration, B-spline FFD, SVFFD.
+
+Converts the reference's disabled/eyeball SVF tests
+(/root/reference/tests/test_utils.py:32-99) into assertive ones.
+"""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from ir_sgmcmc_tpu.models import BSplineFFD3D, SVF3D, SVFFD3D
+from ir_sgmcmc_tpu.ops import control_grid_size, log_det_jacobian
+
+
+def test_svf_zero_velocity_is_identity():
+    svf = SVF3D((8, 8, 8))
+    T, disp = svf(jnp.zeros((3, 8, 8, 8)))
+    np.testing.assert_allclose(np.asarray(T), np.asarray(svf.id_grid), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(disp), 0.0, atol=1e-6)
+
+
+def test_svf_constant_velocity_is_translation():
+    # exp of a constant field is a translation by that amount (voxel units)
+    D = H = W = 16
+    svf = SVF3D((D, H, W))
+    v = np.zeros((3, D, H, W), dtype=np.float32)
+    v[0] = 1.5  # 1.5 voxels along x
+    T, disp = svf(jnp.asarray(v))
+    disp = np.asarray(disp)
+    # interior voxels (away from the border-clamped boundary) translate exactly
+    inner = disp[0, 4:-4, 4:-4, 4:-4]
+    np.testing.assert_allclose(inner, 1.5, atol=1e-3)
+    # diffeomorphic everywhere in the interior
+    ldj = np.asarray(log_det_jacobian(T))[2:-2, 2:-2, 2:-2]
+    assert np.isfinite(ldj).all()
+
+
+def test_svf_small_field_matches_single_step_composition():
+    # for tiny velocities, exp(v) ≈ v
+    rng = np.random.default_rng(0)
+    v = (rng.standard_normal((3, 12, 12, 12)) * 1e-3).astype(np.float32)
+    svf = SVF3D((12, 12, 12))
+    _, disp = svf(jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(disp), v, atol=5e-5)
+
+
+def test_bspline_ffd_matches_torch_conv_transpose():
+    """Per-axis parity with the reference conv1D(transpose=True) pipeline
+    (/root/reference/utils/transformation.py:105-153)."""
+    dims = (12, 12, 12)
+    cps = (4, 4, 4)
+    ffd = BSplineFFD3D(dims, cps)
+    cdims = ffd.control_dims
+    rng = np.random.default_rng(1)
+    cp = rng.standard_normal((3,) + cdims).astype(np.float32)
+
+    ours = np.asarray(ffd(jnp.asarray(cp)))
+
+    # torch oracle: transposed conv along each dim then crop
+    from ir_sgmcmc_tpu.ops import bspline_kernel_1d
+
+    x = torch.from_numpy(cp)[None]  # (1, 3, cD, cH, cW)
+    for i, s in enumerate(cps):
+        kernel = torch.from_numpy(bspline_kernel_1d(s))
+        dim = i + 2
+        x = x.transpose(dim, -1)
+        shape_ = x.size()
+        groups = int(np.prod(shape_[1:-1]))
+        weight = kernel.expand(groups, 1, kernel.shape[-1])
+        x = x.reshape(shape_[0], groups, shape_[-1])
+        x = torch.nn.functional.conv_transpose1d(
+            x, weight, stride=s, padding=(len(kernel) - 1) // 2, groups=groups
+        )
+        x = x.reshape(shape_[0:-1] + x.shape[-1:])
+        x = x.transpose(-1, dim)
+    slicer = (slice(None), slice(None)) + tuple(
+        slice(s, s + dims[i]) for i, s in enumerate(cps)
+    )
+    theirs = x[slicer][0].numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_bspline_partition_of_unity():
+    # uniform control points produce a (nearly) uniform dense field in the
+    # interior: cubic B-spline basis sums to 1
+    dims = (16, 16, 16)
+    cps = (4, 4, 4)
+    ffd = BSplineFFD3D(dims, cps)
+    cp = jnp.ones((3,) + ffd.control_dims)
+    dense = np.asarray(ffd(cp))
+    np.testing.assert_allclose(dense[:, 2:-2, 2:-2, 2:-2], 1.0, atol=1e-4)
+
+
+def test_svffd_shapes():
+    dims = (16, 16, 16)
+    cps = (4, 4, 4)
+    svffd = SVFFD3D(dims, cps)
+    cp = jnp.zeros((3,) + svffd.control_dims)
+    T, disp = svffd(cp)
+    assert T.shape == (3,) + dims
+    assert disp.shape == (3,) + dims
+    np.testing.assert_allclose(np.asarray(disp), 0.0, atol=1e-6)
+
+
+def test_control_grid_size_matches_reference_formula():
+    # /root/reference/utils/util.py:61-69
+    assert control_grid_size((128, 128, 128), (4, 4, 4)) == (35, 35, 35)
+    assert control_grid_size((128, 128, 128), (2, 2, 2)) == (67, 67, 67)
