@@ -1,0 +1,164 @@
+"""Gaussian-mixture data likelihood over LCC-style residuals.
+
+Functional redesign of /root/reference/model/loss.py:38-114 plus the
+virtual-decimation machinery (utils/util.py:330-347, 446-485).  Learnable
+parameters (``logits``, ``log_std``) live in a plain dict pytree so they can
+be driven by any optax-style optimizer; every function here is pure.
+
+Masking: the reference boolean-indexes residuals (dynamic shapes); here all
+reductions are mask-weighted over the full static grid — identical sums, one
+fused VPU pass, no recompiles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.stencil import box_filter3d
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+class GMM:
+    """K-component zero-mean GMM with learnable proportions and scales.
+
+    :param no_components: number of mixture components K.
+    :param s: half-width of the LCC box kernel (kernel size ``2s+1``).
+
+    Reference: model/loss.py:43-114.
+    """
+
+    def __init__(self, no_components: int, s: int):
+        self.no_components = int(no_components)
+        self.radius = int(s)
+        self.window = float((2 * self.radius + 1) ** 3)
+
+    # ---- parameters -----------------------------------------------------
+    def init_params(self) -> dict:
+        K = self.no_components
+        return {
+            "logits": jnp.zeros((K,), jnp.float32),
+            "log_std": jnp.zeros((K,), jnp.float32),
+        }
+
+    def init_scales_from_residual_std(self, params: dict, sigma) -> dict:
+        """Spread component scales over ``[sigma/100, 5 sigma]`` (log-linear).
+
+        Reference: model/loss.py:61-65.
+        """
+        lo = jnp.log(sigma / 100.0)
+        hi = jnp.log(sigma * 5.0)
+        K = self.no_components
+        log_std = lo + (hi - lo) * jnp.arange(K, dtype=jnp.float32) / max(K - 1, 1)
+        return {**params, "log_std": log_std}
+
+    @staticmethod
+    def log_proportions(params: dict) -> jnp.ndarray:
+        # the +1e-2 offset matches model/loss.py:67-69
+        return jax.nn.log_softmax(params["logits"] + 1e-2)
+
+    @staticmethod
+    def scales(params: dict) -> jnp.ndarray:
+        return jnp.exp(params["log_std"])
+
+    @staticmethod
+    def proportions(params: dict) -> jnp.ndarray:
+        return jnp.exp(GMM.log_proportions(params))
+
+    @staticmethod
+    def precision(params: dict) -> jnp.ndarray:
+        return jnp.exp(-2.0 * params["log_std"])
+
+    # ---- residual map ----------------------------------------------------
+    def residual_map(self, im_fixed: jnp.ndarray, im_moving: jnp.ndarray) -> jnp.ndarray:
+        """Local-contrast-normalised residuals (LCC style).
+
+        ``(f - mean_w(f)) / std_w(f) - (m - mean_w(m)) / std_w(m)`` with box
+        window statistics; reference model/loss.py:102-111.
+        """
+
+        def lcn(im):
+            mu = box_filter3d(im, self.radius) / self.window
+            var = box_filter3d((im - mu) ** 2, self.radius) / self.window
+            return (im - mu) / jnp.sqrt(var + 1e-10)
+
+        return lcn(im_fixed) - lcn(im_moving)
+
+    # ---- log pdf ----------------------------------------------------------
+    def log_pdf(self, params: dict, z: jnp.ndarray) -> jnp.ndarray:
+        """Per-voxel mixture log-density of residuals ``z`` (any shape).
+
+        Reference: model/loss.py:87-93.
+        """
+        z = z[..., None]  # broadcast over components
+        log_w = self.log_proportions(params) - params["log_std"] - _LOG_SQRT_2PI
+        e = 0.5 * (z * jnp.exp(-params["log_std"])) ** 2
+        return jax.nn.logsumexp(log_w - e, axis=-1)
+
+    def log_pdf_vd(self, params: dict, z_scaled: jnp.ndarray) -> jnp.ndarray:
+        """Mixture log-density of pre-scaled residuals ``z * exp(-log_std)``.
+
+        ``z_scaled`` has a trailing component axis.  Reference:
+        model/loss.py:95-97.
+        """
+        log_w = self.log_proportions(params) - params["log_std"] - _LOG_SQRT_2PI
+        return jax.nn.logsumexp(log_w - 0.5 * z_scaled**2, axis=-1)
+
+    def masked_nll(self, params: dict, z: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """-sum of log pdf over masked voxels (the data term before VD).
+
+        Equivalent to the reference's ``data_loss(residuals[mask]).sum()``
+        (model/loss.py:113-114) without dynamic shapes.
+        """
+        lp = self.log_pdf(params, z)
+        return -jnp.sum(jnp.where(mask, lp, 0.0))
+
+    # ---- virtual decimation ------------------------------------------------
+    def rescale_residuals(self, params: dict, res: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """EM-style precision rescaling of residuals for virtual decimation.
+
+        Computes ``sum_k z_k * d(-log p_VD)/d z_k`` with ``z_k = res *
+        exp(-log_std_k)`` — the reference's inner backward pass
+        (utils/util.py:330-347) expressed as an explicit ``jax.grad``.
+        """
+        res_masked = jnp.where(mask, res, 0.0)
+        z = res_masked[..., None] * jnp.exp(-params["log_std"])
+
+        def vd_loss(z_scaled):
+            return -jnp.sum(self.log_pdf_vd(params, z_scaled))
+
+        g = jax.grad(vd_loss)(z)
+        return jnp.sum(z * g, axis=-1)
+
+    @staticmethod
+    def vd_factor(residual: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Virtual-decimation factor from lag-1 residual autocorrelation.
+
+        Each voxel counts as ``alpha < 1`` of an independent observation;
+        reference utils/util.py:446-485.
+        """
+        res_masked = jnp.where(mask, residual, 0.0)
+        n = jnp.sum(mask)
+        var = jnp.sum(res_masked**2) / n
+
+        def lag1(axis):
+            a = jnp.moveaxis(res_masked, axis, -1)
+            cov = jnp.sum(a[..., :-1] * a[..., 1:]) / n
+            # clamp: non-positive correlation means effectively independent
+            # voxels -> factor 1 (the reference would NaN here; in practice
+            # residual maps are smooth so corr > 0)
+            corr = jnp.maximum(cov / var, 1e-12)
+            return jnp.minimum(-2.0 / math.pi * jnp.log(corr), 1.0)
+
+        sq = lag1(-1) * lag1(-2) * lag1(-3)
+        return jnp.sqrt(sq)
+
+    def vd_alpha(self, params: dict, res: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Full VD pipeline on detached residuals (trainer/trainer.py:507-514)."""
+        res = jax.lax.stop_gradient(res)
+        params = jax.lax.stop_gradient(params)
+        rescaled = self.rescale_residuals(params, res, mask)
+        return jax.lax.stop_gradient(self.vd_factor(rescaled, mask))
