@@ -1,0 +1,23 @@
+from .bundle import ModelBundle
+from .mcmc import (
+    MCMCState,
+    init_chains,
+    make_mcmc_chunk,
+    make_sgld_transition,
+    posterior_statistics,
+)
+from .vi import VIState, count_folds, gmm_warmup, make_vi_chunk, make_vi_step
+
+__all__ = [
+    "ModelBundle",
+    "VIState",
+    "make_vi_step",
+    "make_vi_chunk",
+    "gmm_warmup",
+    "count_folds",
+    "MCMCState",
+    "init_chains",
+    "make_sgld_transition",
+    "make_mcmc_chunk",
+    "posterior_statistics",
+]

@@ -1,0 +1,296 @@
+"""SG-MCMC engine: preconditioned SGLD over vmapped parallel chains.
+
+Re-architecture of the reference MCMC phase (/root/reference/trainer/
+trainer.py:291-476, 586-611).  One transition for a single chain is a pure
+function; chains become a vmapped leading axis (the reference's batch
+dimension, SURVEY.md §2 #21), which shards across TPU devices over a
+``Mesh('chain')`` axis — see ``ir_sgmcmc_tpu.parallel``.
+
+The SGLD update implemented here is exactly the composite of the reference's
+noise-injecting autograd function + SGD(lr=tau) + sigma² gradient
+preconditioning (utils/functions.py:76-84):
+
+    v'     = v + sqrt(2 tau) * sigma * eps
+    v_next = v' - tau * sigma² * grad U(v')
+
+Design deviations from the reference (intentional, parallelism-first):
+* GMM and regularisation parameters are *per-chain* and updated in parallel,
+  instead of one shared parameter set receiving ``no_chains`` sequential
+  Adam steps per transition (trainer.py:316-327).  Each chain is thereby a
+  self-contained posterior sampler with no cross-chain sync in the hot loop.
+* posterior statistics use running Welford accumulators instead of
+  materialising every thinned sample (trainer.py:366) — O(1) memory at any
+  chain length.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.gmm import GMM
+from ..models.reg_loss import RegLossL2, RegLossLogNormal
+from ..models.sampler import langevin_noise, sample_q_v
+from .bundle import ModelBundle
+from .vi import forward_sample, gmm_adam_step, vd_alpha
+
+
+class WelfordState(NamedTuple):
+    count: jnp.ndarray
+    mean: jnp.ndarray
+    m2: jnp.ndarray
+
+
+def welford_init(shape) -> WelfordState:
+    return WelfordState(
+        count=jnp.zeros((), jnp.float32),
+        mean=jnp.zeros(shape, jnp.float32),
+        m2=jnp.zeros(shape, jnp.float32),
+    )
+
+
+def welford_update(w: WelfordState, x: jnp.ndarray, weight: jnp.ndarray) -> WelfordState:
+    """Weighted (0/1-gated) Welford update; ``weight`` gates thinning."""
+    count = w.count + weight
+    safe = jnp.maximum(count, 1.0)
+    delta = x - w.mean
+    mean = w.mean + weight * delta / safe
+    m2 = w.m2 + weight * delta * (x - mean)
+    return WelfordState(count, mean, m2)
+
+
+def welford_finalize(w: WelfordState):
+    """(mean, std) with the sample (ddof=1) normalisation of torch.std."""
+    var = w.m2 / jnp.maximum(w.count - 1.0, 1.0)
+    return w.mean, jnp.sqrt(var)
+
+
+def welford_merge(ws: WelfordState) -> WelfordState:
+    """Merge per-chain accumulators (leading axis) via Chan's parallel rule,
+    reproducing the reference's pooled statistics over all chains' samples
+    (utils/util.py:114-120)."""
+
+    def merge(a: WelfordState, b: WelfordState) -> WelfordState:
+        n = a.count + b.count
+        safe = jnp.maximum(n, 1.0)
+        delta = b.mean - a.mean
+        mean = a.mean + delta * b.count / safe
+        m2 = a.m2 + b.m2 + delta**2 * a.count * b.count / safe
+        return WelfordState(n, mean, m2)
+
+    n_chains = ws.count.shape[0]
+    acc = jax.tree.map(lambda x: x[0], ws)
+    for i in range(1, n_chains):
+        acc = merge(acc, jax.tree.map(lambda x: x[i], ws))
+    return acc
+
+
+class MCMCState(NamedTuple):
+    """All leaves carry a leading ``(no_chains,)`` axis."""
+
+    v: jnp.ndarray  # (C, 3, *field_dims)
+    sigma: jnp.ndarray  # (C, 3, *field_dims) SGLD preconditioner
+    gmm: dict
+    reg: dict
+    opt_gmm: Any
+    opt_reg: Any
+    welford: WelfordState  # over displacement (C, 3, *dims)
+    key: jax.Array  # (C, 2) per-chain keys
+    step: jnp.ndarray  # scalar
+
+
+def init_chains(
+    bundle: ModelBundle,
+    key: jax.Array,
+    no_chains: int,
+    mode: str,
+    q_v: dict | None,
+    gmm: dict,
+    reg: dict,
+    opt_gmm,
+    opt_reg,
+) -> MCMCState:
+    """SGLD state init — reference trainer.py:586-611.
+
+    ``mode``: ``'VI'`` (per-chain q(v) samples, sigma from the VI log-var),
+    ``'identity'`` (zeros, sigma 1) or ``'noise'`` (standard normal, sigma 1).
+    """
+    shape = (no_chains, 3) + bundle.field_dims
+    key, *chain_keys = jax.random.split(key, no_chains + 1)
+
+    if mode == "VI":
+        assert q_v is not None, "MCMC_init='VI' requires fitted q(v) params"
+        v = jnp.stack([sample_q_v(k, q_v) for k in chain_keys])
+        sigma = jnp.broadcast_to(jnp.exp(0.5 * q_v["log_var"]), shape)
+    elif mode == "identity":
+        v = jnp.zeros(shape, jnp.float32)
+        sigma = jnp.ones(shape, jnp.float32)
+    elif mode == "noise":
+        v = jax.random.normal(key, shape, jnp.float32)
+        sigma = jnp.ones(shape, jnp.float32)
+    else:
+        raise ValueError(f"unknown MCMC init mode: {mode}")
+
+    # per-chain copies of the (VI-fitted) GMM/reg params and fresh optimizers
+    rep = lambda t: jnp.broadcast_to(t, (no_chains,) + t.shape)
+    gmm_c = jax.tree.map(rep, gmm)
+    reg_c = jax.tree.map(rep, reg)
+    opt_gmm_c = jax.vmap(opt_gmm.init)(gmm_c) if gmm_c else opt_gmm.init(gmm_c)
+    opt_reg_c = jax.vmap(opt_reg.init)(reg_c) if reg_c else jax.tree.map(rep, opt_reg.init(reg_c))
+
+    chain_rng = jax.random.split(jax.random.fold_in(key, 7), no_chains)
+
+    return MCMCState(
+        v=v,
+        sigma=sigma,
+        gmm=gmm_c,
+        reg=reg_c,
+        opt_gmm=opt_gmm_c,
+        opt_reg=opt_reg_c,
+        welford=jax.vmap(lambda _: welford_init((3,) + tuple(bundle.dims)))(
+            jnp.arange(no_chains)
+        ),
+        key=chain_rng,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_sgld_transition(
+    bundle: ModelBundle, opt_gmm, opt_reg, tau: float, fixed: dict, moving: dict
+):
+    """Single-chain SGLD transition ``(chain_state, collect?) -> ...``.
+
+    ``fixed``/``moving`` are one image pair (shared across chains — the
+    reference ``expand``s them over the chain axis, trainer.py:361-362; under
+    vmap they broadcast for free).
+    """
+    reg_loss = bundle.reg_loss
+    learnable_reg = reg_loss.learnable and len(reg_loss.param_names) > 0
+
+    def potential(v_noised, reg_p, gmm, opt_gmm_state, key):
+        """U(v') for one chain; also advances the detached GMM params."""
+        out = forward_sample(bundle, fixed, moving, v_noised, key)
+        mask = fixed["mask"]
+        alpha = vd_alpha(bundle, gmm, out["residuals"], mask)
+        gmm, opt_gmm_state = gmm_adam_step(
+            bundle, opt_gmm, gmm, opt_gmm_state, out["residuals"], mask, alpha
+        )
+        data_term = bundle.gmm.masked_nll(gmm, out["residuals"], mask) * alpha
+        data_term = data_term - bundle.gmm_prior_terms(gmm)
+
+        reg, log_y = reg_loss(reg_p, out["v"])
+        reg_term = jnp.sum(reg)
+        if learnable_reg and isinstance(reg_loss, RegLossLogNormal):
+            reg_term -= jnp.sum(bundle.reg_loc_prior(log_y))
+            reg_term -= jnp.sum(bundle.reg_scale_prior(reg_p["log_scale"]))
+        elif learnable_reg and isinstance(reg_loss, RegLossL2):
+            reg_term -= jnp.sum(bundle.reg_w_reg_prior(reg_p["log_w_reg"]))
+
+        loss = data_term + reg_term
+        aux = {
+            "gmm": gmm,
+            "opt_gmm": opt_gmm_state,
+            "data_term": data_term,
+            "reg_term": reg_term,
+            "vd_alpha": alpha,
+            "reg_energy": jnp.exp(log_y).reshape(()),
+            "ndv": out["ndv"],
+            "displacement": out["displacement"],
+            "transformation": out["transformation"],
+            "warped": out["warped"],
+        }
+        return loss, aux
+
+    def transition(chain, collect_weight):
+        """``chain``: dict with one chain's slices of MCMCState fields."""
+        key, k_noise, k_unif = jax.random.split(chain["key"], 3)
+        v_noised = chain["v"] + langevin_noise(k_noise, chain["sigma"], tau)
+
+        grad_fn = jax.grad(potential, argnums=(0, 1), has_aux=True)
+        (g_v, g_reg), aux = grad_fn(
+            v_noised, chain["reg"], chain["gmm"], chain["opt_gmm"], k_unif
+        )
+
+        v_next = v_noised - tau * chain["sigma"] ** 2 * g_v
+
+        reg_p, opt_reg_state = chain["reg"], chain["opt_reg"]
+        if learnable_reg:
+            upd, opt_reg_state = opt_reg.update(g_reg, chain["opt_reg"], chain["reg"])
+            reg_p = optax.apply_updates(chain["reg"], upd)
+
+        welford = welford_update(chain["welford"], aux["displacement"], collect_weight)
+
+        new_chain = {
+            "v": v_next,
+            "sigma": chain["sigma"],
+            "gmm": aux["gmm"],
+            "reg": reg_p,
+            "opt_gmm": aux["opt_gmm"],
+            "opt_reg": opt_reg_state,
+            "welford": welford,
+            "key": key,
+        }
+        metrics = {
+            "data_term": aux["data_term"],
+            "reg_term": aux["reg_term"],
+            "vd_alpha": aux["vd_alpha"],
+            "reg_energy": aux["reg_energy"],
+            "ndv": aux["ndv"],
+            "gmm_scales": GMM.scales(aux["gmm"]),
+            "gmm_proportions": GMM.proportions(aux["gmm"]),
+        }
+        return new_chain, metrics
+
+    return transition
+
+
+def make_mcmc_chunk(
+    bundle: ModelBundle,
+    opt_gmm,
+    opt_reg,
+    tau: float,
+    fixed: dict,
+    moving: dict,
+    chunk: int,
+    burn_in: int,
+    thin: int,
+):
+    """Scan ``chunk`` SGLD transitions over all chains on device.
+
+    Thinned displacement samples feed the per-chain Welford accumulators
+    once past ``burn_in`` (every ``thin`` steps), replacing the reference's
+    sample tensor (trainer.py:365-366, 429).
+    """
+    transition = make_sgld_transition(bundle, opt_gmm, opt_reg, tau, fixed, moving)
+    vtransition = jax.vmap(transition, in_axes=(0, None))
+
+    def body(state: MCMCState, _):
+        step = state.step + 1
+        collect = jnp.logical_and(step > burn_in, (step - burn_in) % thin == 0)
+        chain = {
+            "v": state.v,
+            "sigma": state.sigma,
+            "gmm": state.gmm,
+            "reg": state.reg,
+            "opt_gmm": state.opt_gmm,
+            "opt_reg": state.opt_reg,
+            "welford": state.welford,
+            "key": state.key,
+        }
+        new_chain, metrics = vtransition(chain, collect.astype(jnp.float32))
+        new_state = MCMCState(step=step, **new_chain)
+        return new_state, metrics
+
+    def run(state: MCMCState):
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    return jax.jit(run, donate_argnums=0)
+
+
+def posterior_statistics(state: MCMCState):
+    """Pooled posterior mean/std of the displacement over all chains."""
+    merged = welford_merge(state.welford)
+    return welford_finalize(merged)

@@ -1,0 +1,235 @@
+"""Variational-inference engine: one fully-jitted ELBO step + scan loops.
+
+Re-architecture of the reference VI hot loop (/root/reference/trainer/
+trainer.py:79-170).  The whole iteration — antithetic sampling, Sobolev
+smoothing, SVF integration, warping, LCC residuals, virtual decimation, the
+*interleaved detached GMM Adam steps*, the ELBO, and all three optimizer
+updates — is one pure function ``(state) -> (state, metrics)`` scanned on
+device with ``lax.scan``.  The reference runs 2 forward passes and 3
+backward passes per iteration through the Python/eager torch stack; here XLA
+sees the whole iteration and fuses it.
+
+Gradient-flow invariants kept from the reference:
+* GMM updates see *detached* residuals (trainer.py:68-77);
+* the data term for q(v) uses the *post-update* GMM parameters (the
+  ``_step_GMM`` call precedes the data term, trainer.py:99-101);
+* the VD factor is a constant (no_grad, trainer.py:507-514);
+* Sobolev smoothing backpropagates identity (utils/functions.py:98-109).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.entropy import entropy_analytic, entropy_sample
+from ..models.gmm import GMM
+from ..models.reg_loss import RegLossL2, RegLossLogNormal
+from ..models.sampler import add_uniform_noise, sample_q_v
+from ..ops.grids import det_jacobian
+from ..ops.resample import grid_sample
+from ..ops.stencil import gradient
+from .bundle import ModelBundle
+
+
+class VIState(NamedTuple):
+    q_v: dict
+    gmm: dict
+    reg: dict
+    opt_q_v: Any
+    opt_gmm: Any
+    opt_reg: Any
+    key: jax.Array
+    step: jnp.ndarray
+
+
+def count_folds(transformation: jnp.ndarray) -> jnp.ndarray:
+    """Number of voxels where the transformation is non-diffeomorphic.
+
+    Equivalent to the reference's NaN-count of log|J|
+    (utils/util.py:209-212) without materialising the log.
+    """
+    jac = gradient(transformation, normalised_spacing=True)
+    return jnp.sum(det_jacobian(jac) <= 0.0)
+
+
+def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed, key):
+    """Shared forward chain: smooth -> integrate -> warp -> residuals.
+
+    Mirrors trainer.py:81-96 (VI) / :292-307 (MCMC).
+    """
+    v = bundle.smooth(v_unsmoothed)
+    transformation, displacement = bundle.transformation(v)
+    ndv = count_folds(jax.lax.stop_gradient(transformation))
+    if bundle.uniform_noise_alpha is not None:
+        transformation = add_uniform_noise(key, transformation, bundle.uniform_noise_alpha)
+    warped = grid_sample(moving["im"], transformation, mode="linear")
+    residuals = bundle.gmm.residual_map(fixed["im"], warped)
+    return {
+        "v": v,
+        "transformation": transformation,
+        "displacement": displacement,
+        "warped": warped,
+        "residuals": residuals,
+        "ndv": ndv,
+    }
+
+
+def gmm_adam_step(bundle: ModelBundle, opt, gmm, opt_gmm, residuals, mask, alpha):
+    """One detached GMM Adam step (trainer.py:68-77)."""
+    res_d = jax.lax.stop_gradient(residuals)
+
+    def gmm_loss(p):
+        return bundle.gmm.masked_nll(p, res_d, mask) * alpha - bundle.gmm_prior_terms(p)
+
+    grads = jax.grad(gmm_loss)(gmm)
+    updates, opt_gmm = opt.update(grads, opt_gmm, gmm)
+    return optax.apply_updates(gmm, updates), opt_gmm
+
+
+def vd_alpha(bundle: ModelBundle, gmm, residuals, mask):
+    if not bundle.virtual_decimation:
+        return jnp.asarray(1.0, jnp.float32)
+    return bundle.gmm.vd_alpha(gmm, residuals, mask)
+
+
+def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, moving: dict):
+    """Build the jitted VI step ``(VIState) -> (VIState, metrics)``."""
+    reg_loss = bundle.reg_loss
+    learnable_reg = reg_loss.learnable and len(reg_loss.param_names) > 0
+
+    def sample_losses(q_v, reg_p, gmm, opt_gmm_state, v_sample, key):
+        out = forward_sample(bundle, fixed, moving, v_sample, key)
+        mask = fixed["mask"]
+        alpha = vd_alpha(bundle, gmm, out["residuals"], mask)
+        gmm, opt_gmm_state = gmm_adam_step(
+            bundle, opt_gmm, gmm, opt_gmm_state, out["residuals"], mask, alpha
+        )
+        data = bundle.gmm.masked_nll(gmm, out["residuals"], mask) * alpha
+        reg, log_y = reg_loss(reg_p, out["v"])
+        ent = entropy_sample(v_sample, q_v["mu"], q_v["log_var"], q_v["u"])
+        terms = {"data": data, "reg": jnp.sum(reg), "entropy": ent, "log_y": log_y}
+        if learnable_reg and isinstance(reg_loss, RegLossLogNormal):
+            terms["reg_loc_prior"] = jnp.sum(bundle.reg_loc_prior(log_y))
+        elif learnable_reg and isinstance(reg_loss, RegLossL2):
+            terms["reg_w_reg_prior"] = jnp.sum(bundle.reg_w_reg_prior(reg_p["log_w_reg"]))
+        return terms, out, gmm, opt_gmm_state, alpha
+
+    def loss_fn(diff_params, gmm, opt_gmm_state, keys):
+        q_v, reg_p = diff_params
+        s1, s2 = sample_q_v(keys[0], q_v, antithetic=True)
+
+        t1, out, gmm, opt_gmm_state, alpha = sample_losses(
+            q_v, reg_p, gmm, opt_gmm_state, s1, keys[1]
+        )
+        t2, _, gmm, opt_gmm_state, _ = sample_losses(
+            q_v, reg_p, gmm, opt_gmm_state, s2, keys[2]
+        )
+
+        data_term = 0.5 * (t1["data"] + t2["data"]) - bundle.gmm_prior_terms(gmm)
+        reg_term = 0.5 * (t1["reg"] + t2["reg"])
+        if learnable_reg and isinstance(reg_loss, RegLossLogNormal):
+            reg_term -= 0.5 * (t1["reg_loc_prior"] + t2["reg_loc_prior"])
+            reg_term -= jnp.sum(bundle.reg_scale_prior(reg_p["log_scale"]))
+        elif learnable_reg and isinstance(reg_loss, RegLossL2):
+            reg_term -= 0.5 * (t1["reg_w_reg_prior"] + t2["reg_w_reg_prior"])
+
+        entropy_term = 0.5 * (t1["entropy"] + t2["entropy"]) + entropy_analytic(
+            q_v["log_var"], q_v["u"]
+        )
+        loss = data_term + reg_term - entropy_term
+
+        metrics = {
+            "data_term": data_term,
+            "reg_term": reg_term,
+            "entropy_term": entropy_term,
+            "total_loss": loss,
+            "vd_alpha": alpha,
+            "reg_energy": jnp.exp(t1["log_y"]).reshape(()),
+            "ndv": out["ndv"],
+        }
+        return loss, (gmm, opt_gmm_state, metrics)
+
+    def step(state: VIState, _=None):
+        key, k1, k2, k3 = jax.random.split(state.key, 4)
+        grads, (gmm, opt_gmm_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+            (state.q_v, state.reg), state.gmm, state.opt_gmm, (k1, k2, k3)
+        )
+        g_q_v, g_reg = grads
+
+        upd_q_v, opt_q_v_state = opt_q_v.update(g_q_v, state.opt_q_v, state.q_v)
+        q_v = optax.apply_updates(state.q_v, upd_q_v)
+
+        reg_p, opt_reg_state = state.reg, state.opt_reg
+        if learnable_reg:
+            upd_reg, opt_reg_state = opt_reg.update(g_reg, state.opt_reg, state.reg)
+            reg_p = optax.apply_updates(state.reg, upd_reg)
+
+        # largest voxel-wise L2-norm update per variational parameter
+        # (utils/util.py:281-295)
+        for name in ("mu", "log_var", "u"):
+            old_n = jnp.linalg.norm(state.q_v[name], axis=0)
+            new_n = jnp.linalg.norm(q_v[name], axis=0)
+            metrics[f"max_update_{name}"] = jnp.max(jnp.abs(new_n - old_n))
+
+        metrics["gmm_scales"] = GMM.scales(gmm)
+        metrics["gmm_proportions"] = GMM.proportions(gmm)
+
+        new_state = VIState(
+            q_v=q_v,
+            gmm=gmm,
+            reg=reg_p,
+            opt_q_v=opt_q_v_state,
+            opt_gmm=opt_gmm_state,
+            opt_reg=opt_reg_state,
+            key=key,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_vi_chunk(step_fn, chunk: int):
+    """Scan ``chunk`` VI steps on device, returning stacked per-step metrics."""
+
+    def run(state: VIState):
+        return jax.lax.scan(step_fn, state, None, length=chunk)
+
+    return jax.jit(run, donate_argnums=0)
+
+
+def gmm_warmup(bundle: ModelBundle, opt_gmm, state: VIState, fixed, moving, no_steps: int = 25):
+    """Data-driven GMM init + warm-up (trainer.py:529-547).
+
+    Draws one q(v) sample, computes residuals, spreads the component scales
+    over the residual std-dev, then takes ``no_steps`` detached Adam steps.
+    """
+
+    @jax.jit
+    def _init(state: VIState):
+        key, k_s, k_n = jax.random.split(state.key, 3)
+        v = sample_q_v(k_s, state.q_v)
+        out = forward_sample(bundle, fixed, moving, v, k_n)
+        res, mask = out["residuals"], fixed["mask"]
+        n = jnp.sum(mask)
+        mean = jnp.sum(jnp.where(mask, res, 0.0)) / n
+        var = jnp.sum(jnp.where(mask, (res - mean) ** 2, 0.0)) / (n - 1)
+        sigma = jnp.sqrt(var)
+        gmm = bundle.gmm.init_scales_from_residual_std(state.gmm, sigma)
+        alpha = vd_alpha(bundle, gmm, res, mask)
+
+        def body(carry, _):
+            gmm, opt_state = carry
+            gmm, opt_state = gmm_adam_step(bundle, opt_gmm, gmm, opt_state, res, mask, alpha)
+            return (gmm, opt_state), None
+
+        (gmm, opt_state), _ = jax.lax.scan(
+            body, (gmm, state.opt_gmm), None, length=no_steps
+        )
+        return state._replace(gmm=gmm, opt_gmm=opt_state, key=key)
+
+    return _init(state)
