@@ -28,9 +28,9 @@ import optax
 from ..models.entropy import entropy_analytic, entropy_sample
 from ..models.gmm import GMM
 from ..models.reg_loss import RegLossL2, RegLossLogNormal
-from ..models.sampler import add_uniform_noise, sample_q_v
-from ..ops.grids import det_jacobian
-from ..ops.resample import grid_sample
+from ..models.sampler import sample_q_v
+from ..ops.grids import det_jacobian, voxel_to_normalised
+from ..ops.resample import grid_sample, warp_bounded
 from ..ops.stencil import gradient
 from .bundle import ModelBundle
 
@@ -59,14 +59,29 @@ def count_folds(transformation: jnp.ndarray) -> jnp.ndarray:
 def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed, key):
     """Shared forward chain: smooth -> integrate -> warp -> residuals.
 
-    Mirrors trainer.py:81-96 (VI) / :292-307 (MCMC).
+    Mirrors trainer.py:81-96 (VI) / :292-307 (MCMC).  The image warp runs in
+    voxel-displacement space via the bounded shift-and-blend warp (TPU hot
+    path; see ops/resample.py) — the uniform transformation noise
+    (utils/util.py:44-53) becomes voxel-unit noise on the displacement,
+    which is the same operation expressed in voxel coordinates.
     """
     v = bundle.smooth(v_unsmoothed)
     transformation, displacement = bundle.transformation(v)
     ndv = count_folds(jax.lax.stop_gradient(transformation))
+    disp = displacement
     if bundle.uniform_noise_alpha is not None:
-        transformation = add_uniform_noise(key, transformation, bundle.uniform_noise_alpha)
-    warped = grid_sample(moving["im"], transformation, mode="linear")
+        alpha = bundle.uniform_noise_alpha
+        disp = disp + jax.random.uniform(key, disp.shape, disp.dtype, -alpha, alpha)
+    radius = getattr(bundle.transformation, "max_disp", None)
+    if radius is not None:
+        warped = warp_bounded(moving["im"], disp, radius + 1)
+    else:
+        from ..ops.grids import identity_grid
+
+        warped = grid_sample(
+            moving["im"], identity_grid(bundle.dims) + voxel_to_normalised(disp),
+            mode="linear",
+        )
     residuals = bundle.gmm.residual_map(fixed["im"], warped)
     return {
         "v": v,

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..ops.bspline import CubicBSplineFFD3D, control_grid_size
 from ..ops.grids import identity_grid, normalised_to_voxel, voxel_to_normalised
-from ..ops.resample import grid_sample
+from ..ops.resample import grid_sample, warp_bounded
 
 
 class SVF3D:
@@ -25,14 +25,41 @@ class SVF3D:
     normalised ``[-1, 1]`` coordinates (ready for :func:`grid_sample`) and
     the displacement is in voxel units — matching the reference
     (/root/reference/utils/transformation.py:51-76).
+
+    TPU design: integration runs in *voxel displacement* space with the
+    bounded shift-and-blend warp (see ``ops.resample.warp_bounded``) instead
+    of gather-based ``grid_sample``.  At squaring step ``k`` the running
+    displacement is bounded by ``max_disp / 2^(S-k)`` voxels, so early steps
+    use radius 1 and the radius doubles only near the end — the whole
+    integration costs about one final-radius warp.  ``max_disp`` is the
+    assumed bound on the total displacement magnitude (voxels/axis);
+    displacements beyond it saturate.
     """
 
-    def __init__(self, dims, no_steps: int = 12):
+    def __init__(self, dims, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False):
         self.dims = tuple(int(d) for d in dims)
         self.no_steps = int(no_steps)
+        self.max_disp = int(max_disp)
+        self.use_gather = bool(use_gather)
         self.id_grid = identity_grid(self.dims)
+        # per-step displacement bound: ceil(max_disp / 2^(S-k)), at least 1
+        self.radii = [
+            max(1, -(-self.max_disp // (2 ** (self.no_steps - k))))
+            for k in range(self.no_steps)
+        ]
 
     def __call__(self, v: jnp.ndarray):
+        if self.use_gather:
+            return self._call_gather(v)
+        disp = v / float(2 ** self.no_steps)  # voxel units
+        for r in self.radii:
+            disp = disp + warp_bounded(disp, disp, r)
+        transformation = self.id_grid + voxel_to_normalised(disp)
+        return transformation, disp
+
+    def _call_gather(self, v: jnp.ndarray):
+        """Reference formulation (gather-based grid_sample); kept for parity
+        testing and non-TPU backends."""
         disp0 = voxel_to_normalised(v) / float(2 ** self.no_steps)
         id_grid = self.id_grid
 
@@ -73,24 +100,25 @@ class SVFFD3D:
     Reference: /root/reference/utils/transformation.py:156-164.
     """
 
-    def __init__(self, dims, cps, no_steps: int = 12):
+    def __init__(self, dims, cps, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False):
         self.dims = tuple(int(d) for d in dims)
         self.cps = tuple(int(c) for c in cps)
         self.ffd = BSplineFFD3D(dims, cps)
-        self.svf = SVF3D(dims, no_steps)
+        self.svf = SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather)
+        self.max_disp = self.svf.max_disp
         self.control_dims = self.ffd.control_dims
 
     def __call__(self, cp: jnp.ndarray):
         return self.svf(self.ffd(cp))
 
 
-def make_transformation(kind: str, dims, cps=None, no_steps: int = 12):
+def make_transformation(kind: str, dims, cps=None, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False):
     """Factory used by the config layer (types mirror the reference names)."""
     if kind in ("SVF_3D", "SVF3D"):
-        return SVF3D(dims, no_steps)
+        return SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather)
     if kind in ("SVFFD_3D", "SVFFD3D"):
         assert cps is not None, "SVFFD requires control point spacing (cps)"
-        return SVFFD3D(dims, cps, no_steps)
+        return SVFFD3D(dims, cps, no_steps, max_disp=max_disp, use_gather=use_gather)
     if kind in ("Cubic_B_spline_FFD_3D", "BSplineFFD3D"):
         assert cps is not None
         return BSplineFFD3D(dims, cps)

@@ -5,7 +5,7 @@ from .grids import (
     normalised_to_voxel,
     voxel_to_normalised,
 )
-from .resample import grid_sample, warp
+from .resample import grid_sample, warp, warp_bounded
 from .sobolev import sobolev_kernel_1d, sobolev_smooth
 from .stencil import (
     box_filter3d,
@@ -25,6 +25,7 @@ __all__ = [
     "count_non_diffeomorphic",
     "grid_sample",
     "warp",
+    "warp_bounded",
     "sobolev_kernel_1d",
     "sobolev_smooth",
     "gradient",

@@ -111,6 +111,96 @@ def grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, mode: str = "linear") -> jn
     return out[0] if squeeze else out
 
 
+def _unrolled_blend(padded, wx, wy, wz, offsets, P, out_shape):
+    """Fully unrolled (2R+2)^3 shift-and-blend; used for small radii."""
+    D, H, W = out_shape
+    acc = None
+    for iz, oz in enumerate(offsets):
+        plane_z = jax.lax.slice_in_dim(padded, P + oz, P + oz + D, axis=-3)
+        for iy, oy in enumerate(offsets):
+            plane_zy = jax.lax.slice_in_dim(plane_z, P + oy, P + oy + H, axis=-2)
+            wzy = wz[iz] * wy[iy]
+            for ix, ox in enumerate(offsets):
+                slab = jax.lax.slice_in_dim(plane_zy, P + ox, P + ox + W, axis=-1)
+                term = (wzy * wx[ix]) * slab
+                acc = term if acc is None else acc + term
+    return acc
+
+
+def _looped_blend(padded, dx, dy, dz, R, P, out_shape):
+    """fori_loop over the z offset with the (2R+2)^2 in-plane blend unrolled;
+    bounds compile time and working set for large radii."""
+    D, H, W = out_shape
+    offsets = list(range(-R, R + 2))
+    n_off = len(offsets)
+
+    def tri(d, o):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+
+    wx = [tri(dx, o) for o in offsets]
+    wy = [tri(dy, o) for o in offsets]
+
+    def body(i, acc):
+        oz = i - R  # traced offset in [-R, R+1]
+        wz = tri(dz, oz.astype(dz.dtype))
+        start = [0] * (padded.ndim - 3) + [P + oz, 0, 0]
+        sizes = padded.shape[:-3] + (D, padded.shape[-2], padded.shape[-1])
+        plane_z = jax.lax.dynamic_slice(padded, start, sizes)
+        inner = None
+        for iy, oy in enumerate(offsets):
+            plane_zy = jax.lax.slice_in_dim(plane_z, P + oy, P + oy + H, axis=-2)
+            for ix, ox in enumerate(offsets):
+                slab = jax.lax.slice_in_dim(plane_zy, P + ox, P + ox + W, axis=-1)
+                term = (wy[iy] * wx[ix]) * slab
+                inner = term if inner is None else inner + term
+        return acc + wz * inner
+
+    acc0 = jnp.zeros(padded.shape[:-3] + out_shape, padded.dtype)
+    return jax.lax.fori_loop(0, n_off, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def warp_bounded(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Trilinear warp for displacements bounded by ``radius`` voxels per axis.
+
+    TPU-native replacement for the gather formulation of :func:`grid_sample`
+    on the hot path: XLA lowers per-element gathers to a serialized path on
+    TPU (~175 ms per 128³ warp), whereas a displacement bounded by ``R``
+    voxels lets the warp be written as a dense blend of ``(2R+2)³``
+    statically-shifted copies with separable triangular weights
+
+        out(p) = Σ_o  tri(dx-ox) tri(dy-oy) tri(dz-oz) · vol(p + o),
+
+    which is pure fused VPU work.  For ``|d| <= R`` this is *exactly*
+    trilinear interpolation with border clamping (the replicate padding
+    saturates out-of-range positions); larger displacements are clamped to
+    ``±R``, so choose ``radius`` ≥ the max expected displacement.
+
+    :param vol: ``(D, H, W)`` or ``(C, D, H, W)``.
+    :param disp_vox: ``(3, D, H, W)`` displacement in voxel units
+        (channel 0 displaces x/W).
+    :param radius: static per-axis displacement bound R (voxels).
+    """
+    R = int(radius)
+    P = R + 1
+    out_shape = vol.shape[-3:]
+    d = jnp.clip(disp_vox, -R, R)
+    dx, dy, dz = d[0], d[1], d[2]
+    padded = jnp.pad(vol, [(0, 0)] * (vol.ndim - 3) + [(P, P)] * 3, mode="edge")
+
+    if R <= 2:  # 64 / 216 terms: unroll everything, let XLA fuse one kernel
+        offsets = list(range(-R, R + 2))
+
+        def tri(dd, o):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(dd - o))
+
+        wx = [tri(dx, o) for o in offsets]
+        wy = [tri(dy, o) for o in offsets]
+        wz = [tri(dz, o) for o in offsets]
+        return _unrolled_blend(padded, wx, wy, wz, offsets, P, out_shape)
+    return _looped_blend(padded, dx, dy, dz, R, P, out_shape)
+
+
 def warp(moving: jnp.ndarray, transformation: jnp.ndarray, *, method: str = "linear") -> jnp.ndarray:
     """Warp an image/segmentation by a dense transformation.
 

@@ -1,0 +1,115 @@
+"""Spatially-sharded stencil ops via halo exchange (shard_map + ppermute).
+
+For volumes too large for one device's HBM, fields shard along the leading
+spatial axis (D) over a ``'space'`` mesh axis.  Stencil ops (separable
+convolutions, forward differences — SURVEY.md §5.7's "context-parallel
+analog") need only a fixed-radius halo from each neighbour, exchanged over
+ICI with ``lax.ppermute``; the outermost shards replicate-pad, matching the
+single-device replicate-padding semantics exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.stencil import conv1d_axis
+
+
+def _exchange_halo_d(x: jnp.ndarray, r: int, axis_name: str) -> jnp.ndarray:
+    """Append ``r`` slices of halo on both sides of the local D axis (-3).
+
+    Boundary shards replicate their own edge slice (replicate padding).
+    """
+    n = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+
+    lo_own = x[..., :r, :, :]  # my first r slices -> sent to left neighbour
+    hi_own = x[..., -r:, :, :]  # my last r slices -> sent to right neighbour
+
+    # receive from the right: their first r slices; from the left: their last r
+    from_right = lax.ppermute(lo_own, axis_name, [(i, (i - 1) % n) for i in range(n)])
+    from_left = lax.ppermute(hi_own, axis_name, [(i, (i + 1) % n) for i in range(n)])
+
+    # boundary shards: replicate own edge instead of the wrapped halo
+    edge_lo = jnp.repeat(x[..., :1, :, :], r, axis=-3)
+    edge_hi = jnp.repeat(x[..., -1:, :, :], r, axis=-3)
+    left_halo = jnp.where(idx == 0, edge_lo, from_left)
+    right_halo = jnp.where(idx == n - 1, edge_hi, from_right)
+
+    return jnp.concatenate([left_halo, x, right_halo], axis=-3)
+
+
+def _conv_d_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Valid 1D correlation along D (-3) of a halo-padded block."""
+    taps = int(kernel.shape[0])
+    n_out = x.shape[-3] - taps + 1
+    out = None
+    for j in range(taps):
+        term = kernel[j] * lax.slice_in_dim(x, j, j + n_out, axis=x.ndim - 3)
+        out = term if out is None else out + term
+    return out
+
+
+def separable_conv3d_sharded(field, kernel, mesh: Mesh, axis_name: str = "space"):
+    """Separable 3D convolution of a D-sharded field (replicate padding).
+
+    ``field``: ``(..., D, H, W)`` sharded along D over ``axis_name``; H/W
+    passes are local (fields are contiguous in those axes per shard), the D
+    pass exchanges an ``r``-slice halo.
+    """
+    kernel = jnp.asarray(kernel, dtype=field.dtype)
+    r = int(kernel.shape[0]) // 2
+    ndim = field.ndim
+    spec = P(*((None,) * (ndim - 3)), axis_name, None, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+    )
+    def _run(x):
+        # local H and W passes
+        x = conv1d_axis(x, kernel, axis=-1)
+        x = conv1d_axis(x, kernel, axis=-2)
+        # halo-exchanged D pass
+        x = _exchange_halo_d(x, r, axis_name)
+        return _conv_d_valid(x, kernel)
+
+    return _run(field)
+
+
+def gradient_d_sharded(field, mesh: Mesh, axis_name: str = "space"):
+    """Forward-difference along D for a D-sharded ``(..., D, H, W)`` field.
+
+    Matches the single-device semantics of ``ops.stencil.gradient``'s D
+    component (trailing edge replicated -> last difference duplicated).
+    """
+    ndim = field.ndim
+    spec = P(*((None,) * (ndim - 3)), axis_name, None, None)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    def _run(x):
+        n = lax.psum(1, axis_name)
+        idx = lax.axis_index(axis_name)
+        # next shard's first slice
+        from_right = lax.ppermute(
+            x[..., :1, :, :], axis_name, [(i, (i - 1) % n) for i in range(n)]
+        )
+        nxt = jnp.where(idx == n - 1, x[..., -1:, :, :], from_right)
+        xp = jnp.concatenate([x, nxt], axis=-3)
+        d = xp[..., 1:, :, :] - xp[..., :-1, :, :]
+        # on the last shard the final diff is 0 (x - x); the single-device op
+        # replicates the previous diff there instead
+        def fix_last(d):
+            return jnp.concatenate([d[..., :-1, :, :], d[..., -2:-1, :, :]], axis=-3)
+
+        return jnp.where(idx == n - 1, fix_last(d), d)
+
+    return _run(field)

@@ -1,0 +1,56 @@
+"""Device mesh construction and state sharding.
+
+The reference has no distributed backend (SURVEY.md §2 #22); its only
+parallel axis is MCMC chains batched on one GPU.  Here that axis becomes a
+first-class ``jax.sharding.Mesh`` dimension: chain-major state leaves are
+sharded over ``'chain'`` and image data is replicated, so the vmapped SGLD
+transition partitions across devices with zero cross-chain collectives in
+the hot loop (embarrassingly parallel over ICI).
+
+A second ``'space'`` axis supports spatial sharding of stencil ops for
+volumes that exceed one device's HBM (see ``halo.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axes=("chain",)) -> Mesh:
+    """1D or 2D mesh over the first ``n_devices`` devices.
+
+    ``axes=('chain',)`` puts all devices on the chain axis;
+    ``axes=('chain', 'space')`` with ``n_devices=(c, s)`` builds a 2D mesh.
+    """
+    devices = jax.devices()
+    if isinstance(n_devices, tuple):
+        shape = n_devices
+    else:
+        n = len(devices) if n_devices is None else int(n_devices)
+        shape = (n,) + (1,) * (len(axes) - 1)
+    total = int(np.prod(shape))
+    dev = np.asarray(devices[:total]).reshape(shape)
+    return Mesh(dev, axes)
+
+
+def shard_chain_state(state, mesh: Mesh, no_chains: int):
+    """Place a chain-major state pytree: leading-``no_chains`` leaves are
+    sharded over ``'chain'``, everything else replicated."""
+    chain_sh = NamedSharding(mesh, P("chain"))
+    rep_sh = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim > 0 and x.shape[0] == no_chains:
+            return jax.device_put(x, chain_sh)
+        return jax.device_put(x, rep_sh)
+
+    return jax.tree.map(place, state)
+
+
+def replicate(tree, mesh: Mesh):
+    rep_sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(jax.numpy.asarray(x), rep_sh), tree)

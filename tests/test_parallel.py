@@ -1,0 +1,97 @@
+"""Parallelism: chain sharding over a mesh, halo-exchange stencils.
+
+Runs on the 8-device virtual CPU mesh (conftest).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ir_sgmcmc_tpu.ops import gradient, separable_conv3d, sobolev_kernel_1d
+from ir_sgmcmc_tpu.parallel import (
+    gradient_d_sharded,
+    make_mesh,
+    separable_conv3d_sharded,
+    shard_chain_state,
+)
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@requires_8
+def test_halo_conv_matches_single_device():
+    mesh = make_mesh(8, axes=("space",))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 32, 16, 16)), dtype=jnp.float32)
+    kernel = jnp.asarray(sobolev_kernel_1d(3, 0.5)[0], dtype=jnp.float32)
+
+    ref = separable_conv3d(x, kernel)
+    out = separable_conv3d_sharded(x, kernel, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+@requires_8
+def test_halo_gradient_matches_single_device():
+    mesh = make_mesh(8, axes=("space",))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, 32, 8, 8)), dtype=jnp.float32)
+    ref = gradient(x)[:, 2]  # d/dz component (D axis)
+    out = gradient_d_sharded(x, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@requires_8
+def test_sharded_mcmc_chunk_matches_unsharded():
+    """The full SGLD chunk produces identical trajectories whether chains are
+    sharded over 8 devices or run on one."""
+    from ir_sgmcmc_tpu.data import sphere_pair
+    from ir_sgmcmc_tpu.engine import init_chains, make_mcmc_chunk
+    from ir_sgmcmc_tpu.engine.bundle import ModelBundle
+    from ir_sgmcmc_tpu.models import GMM, DirichletPrior, LogScaleNormalPrior, SVF3D
+    from ir_sgmcmc_tpu.models.reg_loss import RegLossL2
+    from ir_sgmcmc_tpu.optim import adam_decay
+
+    dims = (8, 8, 8)
+    bundle = ModelBundle(
+        dims=dims,
+        gmm=GMM(2, 1),
+        scale_prior=LogScaleNormalPrior(0.0, 2.3),
+        proportion_prior=DirichletPrior(2, 0.5),
+        reg_loss=RegLossL2(w_reg=1.0, dims=dims),
+        transformation=SVF3D(dims, no_steps=4),
+        sobolev_s=1,
+        uniform_noise_alpha=None,
+        virtual_decimation=False,
+    )
+    fixed, moving = sphere_pair(dims, offset=(0, 0, 1))
+    fixed = {k: jnp.asarray(v) for k, v in fixed.items()}
+    moving = {k: jnp.asarray(v) for k, v in moving.items()}
+    opt_gmm = adam_decay(0.2)
+    opt_reg = adam_decay(0.01)
+
+    def build_state():
+        return init_chains(
+            bundle, jax.random.PRNGKey(0), no_chains=8, mode="noise",
+            q_v=None, gmm=bundle.gmm.init_params(), reg=bundle.reg_loss.init_params(),
+            opt_gmm=opt_gmm, opt_reg=opt_reg,
+        )
+
+    chunk = make_mcmc_chunk(
+        bundle, opt_gmm, opt_reg, tau=1e-4, fixed=fixed, moving=moving,
+        chunk=3, burn_in=0, thin=1,
+    )
+
+    s_plain, m_plain = chunk(build_state())
+
+    mesh = make_mesh(8, axes=("chain",))
+    sharded = shard_chain_state(build_state(), mesh, no_chains=8)
+    s_shard, m_shard = chunk(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(m_shard["data_term"]), np.asarray(m_plain["data_term"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(s_shard.v), np.asarray(s_plain.v), atol=1e-5)
+    # verify the state is actually distributed
+    assert len(s_shard.v.sharding.device_set) == 8
