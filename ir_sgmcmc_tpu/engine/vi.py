@@ -57,31 +57,36 @@ def count_folds(transformation: jnp.ndarray) -> jnp.ndarray:
 
 
 def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed, key):
-    """Shared forward chain: smooth -> integrate -> warp -> residuals.
+    """Shared forward chain: smooth -> integrate+warp -> residuals.
 
-    Mirrors trainer.py:81-96 (VI) / :292-307 (MCMC).  The image warp runs in
-    voxel-displacement space via the bounded shift-and-blend warp (TPU hot
-    path; see ops/resample.py) — the uniform transformation noise
-    (utils/util.py:44-53) becomes voxel-unit noise on the displacement,
-    which is the same operation expressed in voxel coordinates.
+    Mirrors trainer.py:81-96 (VI) / :292-307 (MCMC).  On the TPU hot path
+    the moving image is warped *through the squaring cascade*
+    (``SVF3D.integrate`` — exact, and every warp is a small-radius
+    shift-and-blend); the reference's uniform transformation noise
+    (utils/util.py:44-53) becomes a final radius-1 jitter warp, i.e. the
+    U(-α, α) voxel noise perturbs the pre-transform sampling position
+    instead of the post-transform one — the same-scale regulariser (the two
+    differ by the local Jacobian, ≈ identity for diffeomorphic fields).
     """
     v = bundle.smooth(v_unsmoothed)
-    transformation, displacement = bundle.transformation(v)
-    ndv = count_folds(jax.lax.stop_gradient(transformation))
-    disp = displacement
-    if bundle.uniform_noise_alpha is not None:
-        alpha = bundle.uniform_noise_alpha
-        disp = disp + jax.random.uniform(key, disp.shape, disp.dtype, -alpha, alpha)
-    radius = getattr(bundle.transformation, "max_disp", None)
-    if radius is not None:
-        warped = warp_bounded(moving["im"], disp, radius + 1)
+    integrate = getattr(bundle.transformation, "integrate", None)
+    if integrate is not None and not getattr(bundle.transformation, "use_gather", False):
+        transformation, displacement, warped = integrate(v, im=moving["im"])
+        if bundle.uniform_noise_alpha is not None:
+            alpha = bundle.uniform_noise_alpha
+            noise = jax.random.uniform(
+                key, (3,) + warped.shape[-3:], warped.dtype, -alpha, alpha)
+            warped = warp_bounded(warped, noise, 1)
     else:
-        from ..ops.grids import identity_grid
-
-        warped = grid_sample(
-            moving["im"], identity_grid(bundle.dims) + voxel_to_normalised(disp),
-            mode="linear",
-        )
+        transformation, displacement = bundle.transformation(v)
+        t = transformation
+        if bundle.uniform_noise_alpha is not None:
+            alpha = bundle.uniform_noise_alpha
+            noise = jax.random.uniform(
+                key, t.shape, t.dtype, -alpha, alpha)
+            t = t + voxel_to_normalised(noise)
+        warped = grid_sample(moving["im"], t, mode="linear")
+    ndv = count_folds(jax.lax.stop_gradient(transformation))
     residuals = bundle.gmm.residual_map(fixed["im"], warped)
     return {
         "v": v,

@@ -159,8 +159,7 @@ def _looped_blend(padded, dx, dy, dz, R, P, out_shape):
     return jax.lax.fori_loop(0, n_off, body, acc0)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def warp_bounded(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int) -> jnp.ndarray:
+def _warp_bounded_impl(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Trilinear warp for displacements bounded by ``radius`` voxels per axis.
 
     TPU-native replacement for the gather formulation of :func:`grid_sample`
@@ -199,6 +198,168 @@ def warp_bounded(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int) -> jnp.nd
         wz = [tri(dz, o) for o in offsets]
         return _unrolled_blend(padded, wx, wy, wz, offsets, P, out_shape)
     return _looped_blend(padded, dx, dy, dz, R, P, out_shape)
+
+
+# ---- analytic VJP ----------------------------------------------------------
+#
+# Plain autodiff through the blend saves every per-offset weight product as a
+# residual: (2R+2)³ full volumes *per warp*, times 12 squaring steps, times
+# the chain batch — 170+ GB of HLO temps at 128³ (measured: OOM on a 16 GB
+# v5e chip).  The analytic backward recomputes the (cheap, fused) weights
+# from (vol, disp) instead, so the only saved residuals are the inputs
+# themselves:
+#
+#   out(p)        = Σ_o Wx(dx-ox) Wy(dy-oy) Wz(dz-oz) · pad(vol)(p+P+o)
+#   ∂out/∂vol     : transpose blend — scatter w_o·g to pad index p+P+o, then
+#                   fold the edge padding back onto the border voxels;
+#   ∂out/∂d_axis  : same blend with the triangular weight of that axis
+#                   replaced by its derivative  W'(t) = -sign(t)·1{|t|<1},
+#                   summed over the volume's channel axis;
+#   clip          : gradients vanish where |disp| > R.
+
+
+def _tri(t):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _dtri(t):
+    return -jnp.sign(t) * (jnp.abs(t) < 1.0).astype(t.dtype)
+
+
+def _fold_edge(gp: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Transpose of ``jnp.pad(mode='edge')``: sum pad slabs onto the borders."""
+    for axis in (-3, -2, -1):
+        n = gp.shape[axis] - 2 * P
+        lo = jax.lax.slice_in_dim(gp, 0, P, axis=axis).sum(axis=axis, keepdims=True)
+        core = jax.lax.slice_in_dim(gp, P, P + n, axis=axis)
+        hi = jax.lax.slice_in_dim(gp, P + n, 2 * P + n, axis=axis).sum(axis=axis, keepdims=True)
+        first = jax.lax.slice_in_dim(core, 0, 1, axis=axis) + lo
+        mid = jax.lax.slice_in_dim(core, 1, n - 1, axis=axis)
+        last = jax.lax.slice_in_dim(core, n - 1, n, axis=axis) + hi
+        gp = jnp.concatenate([first, mid, last], axis=axis)
+    return gp
+
+
+def _warp_bounded_bwd_impl(vol, disp_vox, radius, g):
+    """Analytic backward: two blend passes, both output-stationary.
+
+    Pass 1 (displacement grads) has the forward's structure — slabs of the
+    replicate-padded volume, accumulated with derivative weights.  Pass 2
+    (volume grad) is the *transpose* blend: scatter w_o·g to padded index
+    p+P+o, which re-indexes as a gather — slices at P−o of the zero-padded
+    product field — so both passes are pure slice-multiply-accumulate chains
+    that XLA fuses, with no read-modify-write of a large accumulator (an
+    earlier in-place `.at[].add` scatter serialised ~100 GB of HBM traffic
+    per transition at 128³).
+    """
+    R = int(radius)
+    P = R + 1
+    D, H, W = vol.shape[-3:]
+    lead = vol.ndim - 3  # 0 (scalar volume) or 1 (channel axis)
+    d = jnp.clip(disp_vox, -R, R)
+    dx, dy, dz = d[0], d[1], d[2]
+    padded = jnp.pad(vol, [(0, 0)] * lead + [(P, P)] * 3, mode="edge")
+    offsets = list(range(-R, R + 2))
+    n_off = len(offsets)
+
+    # ---- pass 1: g_dx, g_dy, g_dz ---------------------------------------
+    wx = [_tri(dx - o) for o in offsets]
+    wy = [_tri(dy - o) for o in offsets]
+    dwx = [_dtri(dx - o) for o in offsets]
+    dwy = [_dtri(dy - o) for o in offsets]
+
+    def d_grads(carry, oz, wz_o, dwz_o):
+        g_dx, g_dy, g_dz = carry
+        plane_z = jax.lax.dynamic_slice_in_dim(padded, P + oz, D, axis=lead)
+        for iy, oy in enumerate(offsets):
+            plane_zy = jax.lax.slice_in_dim(plane_z, P + oy, P + oy + H, axis=lead + 1)
+            for ix, ox in enumerate(offsets):
+                slab = jax.lax.slice_in_dim(plane_zy, P + ox, P + ox + W, axis=lead + 2)
+                gs = (g * slab).sum(axis=0) if lead else g * slab
+                g_dx = g_dx + (dwx[ix] * wy[iy] * wz_o) * gs
+                g_dy = g_dy + (wx[ix] * dwy[iy] * wz_o) * gs
+                g_dz = g_dz + (wx[ix] * wy[iy] * dwz_o) * gs
+        return g_dx, g_dy, g_dz
+
+    zero = jnp.zeros((D, H, W), vol.dtype)
+    carry = (zero, zero, zero)
+    if R <= 2:
+        for oz in offsets:
+            carry = d_grads(carry, oz, _tri(dz - oz), _dtri(dz - oz))
+    else:
+        def body(i, carry):
+            oz = i - R
+            t = dz - oz.astype(dz.dtype)
+            return d_grads(carry, oz, _tri(t), _dtri(t))
+
+        carry = jax.lax.fori_loop(0, n_off, body, carry)
+    g_dx, g_dy, g_dz = carry
+    g_disp = jnp.stack([g_dx, g_dy, g_dz], axis=0)
+    # clip: no gradient where the displacement was saturated
+    g_disp = jnp.where(jnp.abs(disp_vox) <= R, g_disp, 0.0)
+
+    # ---- pass 2: g_vol (transpose blend) ---------------------------------
+    # g_padded(r) = Σ_o (w_o ⊙ g)(r − P − o); with X = zeropad_{2P}(·), the
+    # term re-indexes as X(w_o ⊙ g)(r + P − o) — a slice at start P−o ≥ 0.
+    pad2 = [(0, 0)] * lead + [(2 * P, 2 * P)] * 3
+    gpad = jnp.pad(g, pad2)
+    dxp = jnp.pad(dx, [(2 * P, 2 * P)] * 3)
+    dyp = jnp.pad(dy, [(2 * P, 2 * P)] * 3)
+    dzp = jnp.pad(dz, [(2 * P, 2 * P)] * 3)
+    Dp, Hp, Wp = D + 2 * P, H + 2 * P, W + 2 * P
+
+    def t_blend(acc, oz):
+        gz = jax.lax.dynamic_slice_in_dim(gpad, P - oz, Dp, axis=lead)
+        dxz = jax.lax.dynamic_slice_in_dim(dxp, P - oz, Dp, axis=0)
+        dyz = jax.lax.dynamic_slice_in_dim(dyp, P - oz, Dp, axis=0)
+        dzz = jax.lax.dynamic_slice_in_dim(dzp, P - oz, Dp, axis=0)
+        wz = _tri(dzz - oz)
+        for oy in offsets:
+            gzy = jax.lax.slice_in_dim(gz, P - oy, P - oy + Hp, axis=lead + 1)
+            dxzy = jax.lax.slice_in_dim(dxz, P - oy, P - oy + Hp, axis=1)
+            dyzy = jax.lax.slice_in_dim(dyz, P - oy, P - oy + Hp, axis=1)
+            wzy = jax.lax.slice_in_dim(wz, P - oy, P - oy + Hp, axis=1)
+            for ox in offsets:
+                gzyx = jax.lax.slice_in_dim(gzy, P - ox, P - ox + Wp, axis=lead + 2)
+                dxzyx = jax.lax.slice_in_dim(dxzy, P - ox, P - ox + Wp, axis=2)
+                dyzyx = jax.lax.slice_in_dim(dyzy, P - ox, P - ox + Wp, axis=2)
+                wzyx = jax.lax.slice_in_dim(wzy, P - ox, P - ox + Wp, axis=2)
+                w = _tri(dxzyx - ox) * _tri(dyzyx - oy) * wzyx
+                acc = acc + w * gzyx
+        return acc
+
+    acc0 = jnp.zeros(g.shape[:lead] + (Dp, Hp, Wp), g.dtype)
+    if R <= 2:
+        acc = acc0
+        for oz in offsets:
+            acc = t_blend(acc, oz)
+    else:
+        def tbody(i, acc):
+            return t_blend(acc, i - R)
+
+        acc = jax.lax.fori_loop(0, n_off, tbody, acc0)
+    g_vol = _fold_edge(acc, P)
+    return g_vol, g_disp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def warp_bounded(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int) -> jnp.ndarray:
+    return _warp_bounded_impl(vol, disp_vox, radius)
+
+
+warp_bounded.__doc__ = _warp_bounded_impl.__doc__
+
+
+def _wb_fwd(vol, disp_vox, radius):
+    return _warp_bounded_impl(vol, disp_vox, radius), (vol, disp_vox)
+
+
+def _wb_bwd(radius, residuals, g):
+    vol, disp_vox = residuals
+    return _warp_bounded_bwd_impl(vol, disp_vox, radius, g)
+
+
+warp_bounded.defvjp(_wb_fwd, _wb_bwd)
 
 
 def warp(moving: jnp.ndarray, transformation: jnp.ndarray, *, method: str = "linear") -> jnp.ndarray:
