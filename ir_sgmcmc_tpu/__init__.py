@@ -7,3 +7,16 @@ explicit PRNG keys, chain parallelism over a `jax.sharding.Mesh`.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy to keep `import ir_sgmcmc_tpu` light for kernel-only users
+    if name == "Config":
+        from .config import Config
+
+        return Config
+    if name == "Trainer":
+        from .trainer import Trainer
+
+        return Trainer
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -78,6 +78,11 @@ class Config:
                 node = cfg
                 keys = key_path.split(";")
                 for k in keys[:-1]:
+                    if not isinstance(node, dict) or k not in node:
+                        raise KeyError(
+                            f"config override {key_path!r}: no such key {k!r} "
+                            f"(available: {sorted(node) if isinstance(node, dict) else type(node).__name__})"
+                        )
                     node = node[k]
                 node[keys[-1]] = value
         return cls(cfg, run_id=run_id, make_dirs=make_dirs)
@@ -100,6 +105,16 @@ class Config:
     @property
     def cps(self):
         return self.cfg["transformation_module"]["args"].get("cps")
+
+    def build_dataset(self):
+        """Instantiate the data loader block (reference parse_config.py:100-108)."""
+        from .data.dataset import make_dataset
+
+        dl = self.cfg["data_loader"]
+        args = dict(dl["args"])
+        args["cps"] = self.cps
+        args.setdefault("save_dir", self.dir)
+        return make_dataset(dl["type"], **args)
 
     def build_bundle(self) -> ModelBundle:
         cfg = self.cfg
@@ -141,6 +156,7 @@ class Config:
         transformation = make_transformation(
             t_cfg["type"], dims, cps=t_cfg["args"].get("cps"),
             no_steps=t_cfg["args"].get("no_steps", 12),
+            max_disp=t_cfg["args"].get("max_disp", 8),
         )
 
         sob = cfg.get("Sobolev_grad", {"enabled": False})

@@ -1,0 +1,461 @@
+"""Two-phase VI -> SG-MCMC registration trainer (host-side orchestration).
+
+Re-architecture of the reference Trainer (/root/reference/trainer/
+trainer.py:16-614 + base/base_trainer.py).  The reference drives every
+iteration from Python; here the hot loops are device-resident ``lax.scan``
+chunks built by :mod:`ir_sgmcmc_tpu.engine`, and the host only:
+
+* moves each image pair to device once,
+* launches VI / SGLD chunks sized to the logging period,
+* evaluates registration quality (Dice in-graph, ASD on host) at log time,
+* enforces the diffeomorphism guard (abort when any chain's transformation
+  folds at > 0.1% of voxels, trainer.py:441-445),
+* writes scalars / figures / NIfTI / VTK artifacts,
+* checkpoints state at every log boundary (a capability the reference
+  advertises but does not implement — README.md:28-31).
+
+Phase structure per image pair (trainer.py:478-563): data init -> GMM
+warm-up -> [VI -> VI test] -> [MCMC], with the sampling-speed timers the
+reference prints (trainer.py:276-289, 467-476) reproduced as the benchmark
+metrics.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .engine import (
+    MCMCState,
+    VIState,
+    gmm_warmup,
+    init_chains,
+    make_mcmc_chunk,
+    make_vi_chunk,
+    make_vi_step,
+    posterior_statistics,
+)
+from .engine.mcmc import welford_finalize, welford_init, welford_update
+from .models.sampler import sample_q_v
+from .ops.grids import count_non_diffeomorphic, det_jacobian
+from .ops.resample import warp
+from .ops.stencil import gradient
+from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.metrics import MetricTracker, calc_metrics, dice
+from .utils import savers
+
+
+class NonDiffeomorphicAbort(RuntimeError):
+    """Raised when a sampled transformation folds at > ``tol`` of voxels."""
+
+
+def _host(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def _last(metrics_stacked):
+    """Final-step slice of stacked per-step scan metrics."""
+    return jax.tree.map(lambda x: x[-1], metrics_stacked)
+
+
+class Trainer:
+    def __init__(self, config: Config, dataset=None, resume: str | None = None):
+        self.config = config
+        self.t_cfg = config["trainer"]
+        self.logger = config.logger
+        self.writer = config.writer
+        self.dataset = dataset if dataset is not None else config.build_dataset()
+        self.bundle = config.build_bundle()
+        self.opt_q_v, self.opt_gmm, self.opt_reg = config.build_optimizers(self.bundle)
+        self.resume_path = resume
+
+        self.structures = getattr(self.dataset, "structures", None) or config.structures
+        self.spacing = (1.0, 1.0, 1.0)  # refined per pair once a volume is read
+
+        self.run_vi = bool(self.t_cfg.get("VI", False))
+        self.run_mcmc = bool(self.t_cfg.get("MCMC", False))
+        self.no_iters_vi = int(self.t_cfg.get("no_iters_VI", 0))
+        self.no_samples_vi_test = int(self.t_cfg.get("no_samples_VI_test", 0))
+        self.no_chains = int(self.t_cfg.get("no_chains", 1))
+        self.no_iters_burn_in = int(self.t_cfg.get("no_iters_burn_in", 0))
+        self.no_samples_mcmc = int(self.t_cfg.get("no_samples_MCMC", 0))
+        self.log_period_vi = int(self.t_cfg.get("log_period_VI", 128))
+        self.log_period_mcmc = int(self.t_cfg.get("log_period_MCMC", 1000))
+        self.mcmc_init = self.t_cfg.get("MCMC_init", "VI")
+        self.compute_asd = bool(self.t_cfg.get("ASD", True))
+        self.ndv_tol = float(self.t_cfg.get("non_diffeomorphic_tolerance", 0.001))
+        self.speed_test_iters = int(self.t_cfg.get("speed_test_iters", 100))
+
+        keys = ["data_term", "reg_term", "entropy_term", "total_loss", "vd_alpha",
+                "reg_energy", "ndv"]
+        self.tracker = MetricTracker(*keys, writer=self.writer)
+
+    # ------------------------------------------------------------------ run
+    def run(self):
+        """Register every pair in the dataset; returns per-pair summaries."""
+        summaries = []
+        for pair_idx in range(len(self.dataset)):
+            summaries.append(self._run_pair(pair_idx))
+        self.writer.close()
+        return summaries
+
+    def _run_pair(self, pair_idx: int) -> dict:
+        fixed_np, moving_np, q_v0 = self.dataset[pair_idx]
+        if self.dataset.im_spacing is not None:
+            sp = np.ravel(np.asarray(self.dataset.im_spacing, np.float32))
+            self.spacing = tuple(np.resize(sp, 3).tolist())
+        fixed = {k: jnp.asarray(v) for k, v in fixed_np.items()}
+        moving = {k: jnp.asarray(v) for k, v in moving_np.items()}
+
+        savers.save_fixed_im(self.config.save_dirs, self.spacing, fixed_np["im"])
+        savers.save_moving_im(self.config.save_dirs, self.spacing, moving_np["im"])
+        savers.save_fixed_mask(self.config.save_dirs, self.spacing, fixed_np["mask"])
+        savers.save_moving_mask(self.config.save_dirs, self.spacing, moving_np["mask"])
+
+        state = VIState(
+            q_v={k: jnp.asarray(v) for k, v in q_v0.items()},
+            gmm=self.bundle.gmm.init_params(),
+            reg=self.bundle.reg_loss.init_params(),
+            opt_q_v=self.opt_q_v.init({k: jnp.asarray(v) for k, v in q_v0.items()}),
+            opt_gmm=self.opt_gmm.init(self.bundle.gmm.init_params()),
+            opt_reg=self.opt_reg.init(self.bundle.reg_loss.init_params()),
+            key=jax.random.PRNGKey(int(self.t_cfg.get("seed", 0)) + pair_idx),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        resume_meta = {}
+        if self.resume_path:
+            state, resume_meta = load_checkpoint(self.resume_path, state)
+            self.logger.info("resumed from %s at %s", self.resume_path, resume_meta)
+        else:
+            # GMM warm-up: data-driven scale init + 25 detached Adam steps
+            # (trainer.py:529-547)
+            state = gmm_warmup(self.bundle, self.opt_gmm, state, fixed, moving)
+
+        summary = {"pair": pair_idx}
+        baseline_dsc = np.asarray(
+            dice(fixed["seg"], moving["seg"], list(self.structures.values()))
+        )
+        summary["dsc_before"] = float(baseline_dsc.mean())
+        self.logger.info("pair %d: pre-registration mean Dice %.4f",
+                         pair_idx, summary["dsc_before"])
+
+        if self.run_vi and int(resume_meta.get("phase_done", -1)) < 1:
+            t0 = time.perf_counter()
+            state = self._run_vi_phase(fixed, moving, state,
+                                       start=int(resume_meta.get("vi_iters", 0)))
+            summary["vi_time_s"] = time.perf_counter() - t0
+            self.logger.info("VI phase took %.1fs", summary["vi_time_s"])
+            summary.update(self._test_vi(fixed, moving, state))
+
+        if self.run_mcmc:
+            summary.update(self._run_mcmc_phase(fixed, moving, state))
+
+        return summary
+
+    # ---------------------------------------------------------- evaluation
+    def _make_eval(self, fixed, moving):
+        """Jitted sample evaluation: v_unsmoothed -> warped im/seg, log|J|, displacement."""
+        bundle = self.bundle
+        labels = list(self.structures.values())
+
+        @jax.jit
+        def eval_v(v_unsmoothed):
+            v = bundle.smooth(v_unsmoothed)
+            transformation, displacement = bundle.transformation(v)
+            im_warped = warp(moving["im"], transformation, method="linear")
+            seg_warped = warp(moving["seg"], transformation, method="nearest")
+            jac = gradient(transformation, normalised_spacing=True)
+            det = det_jacobian(jac)
+            log_det = jnp.log(jnp.maximum(det, 0.0))  # -inf/nan where folded
+            dsc = dice(fixed["seg"], seg_warped, labels)
+            ndv = count_non_diffeomorphic(det)
+            residuals = bundle.gmm.residual_map(fixed["im"], im_warped)
+            return {
+                "im_warped": im_warped,
+                "seg_warped": seg_warped,
+                "displacement": displacement,
+                "log_det_J": log_det,
+                "dsc": dsc,
+                "ndv": ndv,
+                "residuals": residuals,
+            }
+
+        return eval_v
+
+    def _log_seg_metrics(self, fixed_np, out, prefix: str, chain=None):
+        tag = f"{prefix}" + (f"/chain_{chain}" if chain is not None else "")
+        dsc = np.asarray(out["dsc"])
+        for name, val in zip(self.structures, dsc):
+            self.writer.add_scalar(f"DSC/{tag}/{name}", float(val))
+        self.writer.add_scalar(f"DSC/{tag}/mean", float(dsc.mean()))
+        if self.compute_asd:
+            asd, _ = calc_metrics(fixed_np, np.asarray(out["seg_warped"]),
+                                  self.structures, self.spacing)
+            finite = np.isfinite(asd[0])
+            for name, val in zip(self.structures, asd[0]):
+                self.writer.add_scalar(f"ASD/{tag}/{name}", float(val))
+            if finite.any():
+                self.writer.add_scalar(f"ASD/{tag}/mean", float(asd[0][finite].mean()))
+        return float(dsc.mean())
+
+    # ------------------------------------------------------------ VI phase
+    def _run_vi_phase(self, fixed, moving, state: VIState, start: int = 0) -> VIState:
+        step_fn = make_vi_step(self.bundle, self.opt_q_v, self.opt_gmm,
+                               self.opt_reg, fixed, moving)
+        eval_fn = self._make_eval(fixed, moving)
+        fixed_seg_np = np.asarray(fixed["seg"])
+
+        chunk = max(1, min(self.log_period_vi, self.no_iters_vi))
+        chunk_fn = make_vi_chunk(step_fn, chunk)
+        rem = (self.no_iters_vi - start) % chunk
+        rem_fn = make_vi_chunk(step_fn, rem) if rem else None
+
+        done = start
+        while done < self.no_iters_vi:
+            this = chunk if (self.no_iters_vi - done) >= chunk else rem
+            fn = chunk_fn if this == chunk else rem_fn
+            state, ms = fn(state)
+            done += this
+            last = _host(_last(ms))
+
+            self.writer.set_step(done)
+            for k in ("data_term", "reg_term", "entropy_term", "total_loss",
+                      "vd_alpha", "reg_energy", "ndv"):
+                self.tracker.update(k, float(np.asarray(last[k])))
+            for i, (s, p) in enumerate(zip(np.atleast_1d(last["gmm_scales"]),
+                                           np.atleast_1d(last["gmm_proportions"]))):
+                self.writer.add_scalar(f"GMM/scale_{i}", float(s))
+                self.writer.add_scalar(f"GMM/proportion_{i}", float(p))
+            for name in ("mu", "log_var", "u"):
+                self.writer.add_scalar(f"VI/max_update_{name}",
+                                       float(np.asarray(last[f"max_update_{name}"])))
+
+            out = eval_fn(state.q_v["mu"])
+            mean_dsc = self._log_seg_metrics(fixed_seg_np, out, "VI")
+            if self.writer.has_figures:
+                from .utils import figures
+
+                self.writer.add_figure("VI/residual_hist", figures.residual_histogram(
+                    np.asarray(out["residuals"]), np.asarray(fixed["mask"]),
+                    np.log(np.asarray(last["gmm_proportions"])),
+                    np.log(np.asarray(last["gmm_scales"]))))
+                self.writer.add_figure("VI/images", figures.image_grid({
+                    "fixed": np.asarray(fixed["im"]),
+                    "moving": np.asarray(moving["im"]),
+                    "warped(mu)": np.asarray(out["im_warped"])}))
+                self.writer.add_figure("VI/fields", figures.field_norm_grid({
+                    "mu": np.asarray(state.q_v["mu"]),
+                    "sigma": np.exp(0.5 * np.asarray(state.q_v["log_var"])),
+                    "u": np.asarray(state.q_v["u"]),
+                    "displacement": np.asarray(out["displacement"])}))
+            self.logger.info(
+                "VI %d/%d loss %.1f data %.1f reg %.1f entropy %.1f dice %.4f ndv %d",
+                done, self.no_iters_vi, float(last["total_loss"]),
+                float(last["data_term"]), float(last["reg_term"]),
+                float(last["entropy_term"]), mean_dsc, int(last["ndv"]),
+            )
+            save_checkpoint(
+                self.config.save_dirs["models"] / "vi_latest.npz", state,
+                {"phase_done": 0, "vi_iters": done, "config": self.config.name},
+            )
+        return state
+
+    def _test_vi(self, fixed, moving, state: VIState) -> dict:
+        """Posterior sampling / evaluation + speed test (trainer.py:225-289)."""
+        if self.no_samples_vi_test <= 0:
+            return {}
+        bundle = self.bundle
+        eval_fn = self._make_eval(fixed, moving)
+        fixed_seg_np = np.asarray(fixed["seg"])
+
+        @jax.jit
+        def draw(key, q_v):
+            return sample_q_v(key, q_v)
+
+        key = jax.random.fold_in(state.key, 101)
+        welford = welford_init((3,) + tuple(bundle.dims))
+        dscs = []
+        save_every = max(1, self.no_samples_vi_test // 10)
+        for i in range(self.no_samples_vi_test):
+            key, k = jax.random.split(key)
+            out = eval_fn(draw(k, state.q_v))
+            welford = welford_update(welford, out["displacement"], jnp.asarray(1.0))
+            self.writer.set_step(i)
+            dscs.append(self._log_seg_metrics(fixed_seg_np, out, "VI_test"))
+            if i % save_every == 0:
+                savers.save_sample(self.config.save_dirs, self.spacing, i,
+                                   out["im_warped"], out["displacement"],
+                                   out["log_det_J"], "VI")
+
+        # posterior mean transform (mu directly, trainer.py:258-263)
+        out_mu = eval_fn(state.q_v["mu"])
+        savers.save_variational_posterior_mean(
+            self.config.save_dirs, self.spacing, out_mu["im_warped"],
+            out_mu["displacement"])
+
+        mean, std = welford_finalize(welford)
+        savers.save_displacement_mean_and_std_dev(
+            self.config.save_dirs, self.spacing, np.asarray(mean),
+            np.asarray(std), np.asarray(fixed["mask"]), "VI")
+        if self.writer.has_figures:
+            from .utils import figures
+
+            self.writer.add_figure(
+                "VI_test/posterior", figures.mean_std_grid(np.asarray(mean), np.asarray(std)))
+
+        # sampling speed test (trainer.py:276-289): sample -> smooth ->
+        # integrate -> warp im + seg, timed over `speed_test_iters` draws
+        @jax.jit
+        def speed_body(key, _):
+            key, k = jax.random.split(key)
+            v = bundle.smooth(sample_q_v(k, state.q_v))
+            transformation, _ = bundle.transformation(v)
+            im_w = warp(moving["im"], transformation, method="linear")
+            seg_w = warp(moving["seg"], transformation, method="nearest")
+            return key, (jnp.mean(im_w), jnp.sum(seg_w))
+
+        def timed(n):
+            k, outs = jax.lax.scan(speed_body, key, None, length=n)
+            return outs
+
+        run_n = jax.jit(timed, static_argnums=0)
+        jax.block_until_ready(run_n(2))  # compile
+        t0 = time.perf_counter()
+        outs = run_n(self.speed_test_iters)
+        _ = float(np.asarray(outs[0]).sum())  # host sync (axon-safe)
+        dt = time.perf_counter() - t0
+        sps = self.speed_test_iters / dt
+        self.logger.info("VI sampling speed: %.2f samples/sec", sps)
+
+        return {
+            "vi_test_mean_dsc": float(np.mean(dscs)) if dscs else float("nan"),
+            "vi_samples_per_sec": sps,
+        }
+
+    # ---------------------------------------------------------- MCMC phase
+    def _run_mcmc_phase(self, fixed, moving, vi_state: VIState) -> dict:
+        bundle = self.bundle
+        no_voxels = float(np.prod(bundle.dims))
+        tau = self.config.tau
+        total = self.no_iters_burn_in + self.no_samples_mcmc
+
+        mcmc = init_chains(
+            bundle,
+            jax.random.fold_in(vi_state.key, 202),
+            no_chains=self.no_chains,
+            mode=self.mcmc_init,
+            q_v=vi_state.q_v if self.mcmc_init == "VI" else None,
+            gmm=vi_state.gmm,
+            reg=vi_state.reg,
+            opt_gmm=self.opt_gmm,
+            opt_reg=self.opt_reg,
+        )
+
+        resume_meta = {}
+        if self.resume_path and not self.run_vi:
+            mcmc, resume_meta = load_checkpoint(self.resume_path, mcmc)
+            self.logger.info("resumed MCMC from %s at %s", self.resume_path, resume_meta)
+
+        chunk = max(1, min(self.log_period_mcmc, total))
+        chunk_fn = make_mcmc_chunk(bundle, self.opt_gmm, self.opt_reg, tau,
+                                   fixed, moving, chunk=chunk,
+                                   burn_in=self.no_iters_burn_in, thin=1)
+        eval_fn = jax.jit(jax.vmap(self._make_eval(fixed, moving)))
+        fixed_seg_np = np.asarray(fixed["seg"])
+
+        summary = {}
+        done = int(np.asarray(mcmc.step))
+        t0 = time.perf_counter()
+        try:
+            while done < total:
+                this = min(chunk, total - done)
+                if this != chunk:
+                    chunk_fn = make_mcmc_chunk(
+                        bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
+                        chunk=this, burn_in=self.no_iters_burn_in, thin=1)
+                mcmc, ms = chunk_fn(mcmc)
+                done += this
+                last = _host(_last(ms))  # per-chain (C,) leaves
+
+                self.writer.set_step(done)
+                for k in ("data_term", "reg_term", "vd_alpha", "reg_energy", "ndv"):
+                    for c in range(self.no_chains):
+                        self.writer.add_scalar(f"MCMC/{k}/chain_{c}",
+                                               float(np.asarray(last[k])[c]))
+
+                # diffeomorphism guard — abort as the reference does
+                # (trainer.py:441-445) when any chain folds at > tol voxels
+                worst = int(np.asarray(last["ndv"]).max())
+                if worst > self.ndv_tol * no_voxels:
+                    raise NonDiffeomorphicAbort(
+                        f"chain transformation folded at {worst} voxels "
+                        f"(> {self.ndv_tol:.1%} of {int(no_voxels)}) at step {done}"
+                    )
+
+                outs = eval_fn(mcmc.v)
+                post_burn_in = done > self.no_iters_burn_in
+                for c in range(self.no_chains):
+                    out_c = jax.tree.map(lambda x: x[c], outs)
+                    self._log_seg_metrics(fixed_seg_np, out_c, "MCMC", chain=c)
+                    if post_burn_in:
+                        savers.save_sample(
+                            self.config.save_dirs, self.spacing,
+                            done - self.no_iters_burn_in, out_c["im_warped"],
+                            out_c["displacement"], out_c["log_det_J"],
+                            "MCMC", chain_no=c)
+                        if self.writer.has_figures:
+                            from .utils import figures
+
+                            self.writer.add_figure(
+                                f"MCMC/sample/chain_{c}",
+                                figures.sample_grid(
+                                    np.asarray(out_c["im_warped"]),
+                                    np.asarray(out_c["displacement"]),
+                                    np.asarray(out_c["log_det_J"]), chain_no=c))
+                self.logger.info(
+                    "MCMC %d/%d data %s reg %s ndv %s",
+                    done, total,
+                    np.array2string(np.asarray(last["data_term"]), precision=1),
+                    np.array2string(np.asarray(last["reg_term"]), precision=1),
+                    np.asarray(last["ndv"]),
+                )
+                save_checkpoint(
+                    self.config.save_dirs["models"] / "mcmc_latest.npz", mcmc,
+                    {"phase_done": 1, "mcmc_steps": done, "config": self.config.name},
+                )
+        except NonDiffeomorphicAbort as e:
+            self.logger.error("MCMC aborted: %s", e)
+            summary["mcmc_aborted"] = str(e)
+        finally:
+            summary["mcmc_time_s"] = time.perf_counter() - t0
+            # posterior statistics over all chains (trainer.py:455-465)
+            if float(np.asarray(mcmc.welford.count).sum()) > 1:
+                mean, std = posterior_statistics(mcmc)
+                savers.save_displacement_mean_and_std_dev(
+                    self.config.save_dirs, self.spacing, np.asarray(mean),
+                    np.asarray(std), np.asarray(fixed["mask"]), "MCMC")
+
+            # MCMC speed test (trainer.py:467-476)
+            speed_fn = make_mcmc_chunk(
+                bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
+                chunk=self.speed_test_iters, burn_in=0, thin=1)
+            mcmc, _ = speed_fn(mcmc)  # compile + warm
+            _ = float(np.asarray(mcmc.v).mean())
+            t1 = time.perf_counter()
+            mcmc, _ = speed_fn(mcmc)
+            _ = float(np.asarray(mcmc.v).mean())
+            dt = time.perf_counter() - t1
+            sps = self.no_chains * self.speed_test_iters / dt
+            self.logger.info("MCMC sampling speed: %.2f samples/sec", sps)
+            summary["mcmc_samples_per_sec"] = sps
+
+            outs = eval_fn(mcmc.v)
+            summary["mcmc_mean_dsc"] = float(np.asarray(outs["dsc"]).mean())
+        return summary

@@ -65,6 +65,11 @@ class ScalarWriter:
         except Exception:
             self._jsonl = open(log_dir / "events.jsonl", "a", buffering=1)
 
+    @property
+    def has_figures(self) -> bool:
+        """True when figures will actually be recorded (TensorBoard backend)."""
+        return self._tb is not None
+
     def set_step(self, step: int):
         self.step = int(step)
 

@@ -1,0 +1,112 @@
+"""End-to-end trainer tests on a synthetic pair (tiny grid, few iterations).
+
+Covers the orchestration layer the reference leaves untested (SURVEY.md §4):
+config parsing, both phases, artifact emission, the diffeomorphism guard
+wiring, and checkpoint/resume.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ir_sgmcmc_tpu.config import Config
+from ir_sgmcmc_tpu.trainer import Trainer
+from ir_sgmcmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _demo_cfg(tmp_path, **trainer_overrides):
+    cfg = json.loads(
+        (Path(__file__).parent.parent / "configs/demo/config_synthetic.json").read_text()
+    )
+    cfg["data_loader"]["args"]["dims"] = [12, 12, 12]
+    cfg["transformation_module"]["args"] = {"no_steps": 6, "max_disp": 4}
+    cfg["trainer"].update(
+        save_dir=str(tmp_path),
+        no_iters_VI=8,
+        log_period_VI=4,
+        no_samples_VI_test=3,
+        no_chains=2,
+        no_iters_burn_in=3,
+        no_samples_MCMC=5,
+        log_period_MCMC=4,
+        speed_test_iters=2,
+        tensorboard=False,
+    )
+    cfg["trainer"].update(trainer_overrides)
+    return Config(cfg, run_id="test")
+
+
+def test_trainer_end_to_end(tmp_path):
+    config = _demo_cfg(tmp_path)
+    trainer = Trainer(config)
+    summaries = trainer.run()
+
+    assert len(summaries) == 1
+    s = summaries[0]
+    assert np.isfinite(s["vi_time_s"])
+    assert s["vi_samples_per_sec"] > 0
+    assert s["mcmc_samples_per_sec"] > 0
+    assert "mcmc_aborted" not in s
+    # registration should not damage alignment on a translated sphere
+    assert s["vi_test_mean_dsc"] >= s["dsc_before"] - 0.05
+
+    run_dir = config.dir
+    assert (run_dir / "images/im_fixed.nii.gz").exists()
+    assert (run_dir / "fields/VI_displacement_mean.vtk").exists()
+    assert (run_dir / "fields/MCMC_displacement_std_dev.vtk").exists()
+    assert (run_dir / "models/vi_latest.npz").exists()
+    assert (run_dir / "models/mcmc_latest.npz").exists()
+    assert list((run_dir / "samples/VI").glob("sample_*_im_warped.nii.gz"))
+    assert list((run_dir / "samples/MCMC").glob("chain_*_im_warped.nii.gz"))
+
+
+def test_trainer_mcmc_cold_start(tmp_path):
+    config = _demo_cfg(tmp_path, VI=False, MCMC=True, MCMC_init="noise",
+                       no_samples_MCMC=4, no_iters_burn_in=2)
+    summaries = Trainer(config).run()
+    assert summaries[0]["mcmc_samples_per_sec"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "b": {"c": np.ones(4, np.int32)},
+    }
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, state, {"phase_done": 1, "step": 42})
+    like = {"a": np.zeros((2, 3), np.float32), "b": {"c": np.zeros(4, np.int32)}}
+    restored, meta = load_checkpoint(path, like)
+    assert meta == {"phase_done": 1, "step": 42}
+    np.testing.assert_array_equal(np.asarray(restored["a"]), state["a"])
+    np.testing.assert_array_equal(np.asarray(restored["b"]["c"]), state["b"]["c"])
+
+    bad = {"a": np.zeros((3, 2), np.float32), "b": {"c": np.zeros(4, np.int32)}}
+    with pytest.raises(ValueError):
+        load_checkpoint(path, bad)
+
+
+def test_vi_resume(tmp_path):
+    config = _demo_cfg(tmp_path, MCMC=False, no_samples_VI_test=0)
+    trainer = Trainer(config)
+    trainer.run()
+    ckpt = config.save_dirs["models"] / "vi_latest.npz"
+    assert ckpt.exists()
+
+    config2 = _demo_cfg(tmp_path / "resumed")
+    config2.cfg["trainer"]["MCMC"] = False
+    config2.cfg["trainer"]["no_samples_VI_test"] = 0
+    trainer2 = Trainer(config2, resume=str(ckpt))
+    summaries = trainer2.run()
+    # resumed run starts at vi_iters=8 == no_iters_VI, so the VI loop is a no-op
+    assert summaries[0]["vi_time_s"] < 30.0
+
+
+def test_config_overrides(tmp_path):
+    cfg_path = Path(__file__).parent.parent / "configs/demo/config_synthetic.json"
+    config = Config.from_file(
+        cfg_path, overrides={"trainer;no_iters_VI": 7, "trainer;save_dir": str(tmp_path)},
+        make_dirs=False,
+    )
+    assert config["trainer"]["no_iters_VI"] == 7
