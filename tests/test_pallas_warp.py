@@ -1,0 +1,36 @@
+"""Pallas warp kernel vs the XLA reference implementation (interpret mode).
+
+The kernel itself targets real TPUs (lane-aligned W); interpret mode checks
+the logic — DMA windowing, sublane rolls, lane-shift clamping — on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ir_sgmcmc_tpu.ops.pallas_warp import pallas_applicable, warp_bounded_pallas
+from ir_sgmcmc_tpu.ops.resample import _warp_bounded_impl
+
+
+@pytest.mark.parametrize("shape,radius,chan", [
+    ((8, 8, 128), 1, None),
+    ((8, 8, 128), 2, 3),
+    ((16, 16, 128), 4, 3),
+])
+def test_pallas_warp_matches_xla(shape, radius, chan):
+    rng = np.random.default_rng(0)
+    vshape = ((chan,) if chan else ()) + shape
+    vol = jnp.asarray(rng.standard_normal(vshape).astype(np.float32))
+    disp = jnp.asarray(
+        ((rng.random((3,) + shape) * 2 - 1) * radius * 1.2).astype(np.float32))
+
+    out = warp_bounded_pallas(vol, disp, radius, interpret=True)
+    ref = _warp_bounded_impl(vol, disp, radius)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_applicable():
+    assert pallas_applicable((128, 128, 128), 1)
+    assert not pallas_applicable((128, 128, 100), 1)  # unaligned lanes
+    assert not pallas_applicable((9, 128, 128), 1)  # untileable z
