@@ -102,15 +102,17 @@ def measure_tpu() -> float:
     timed = make_mcmc_chunk(bundle, opt_gmm, opt_reg, 1e-5, fixed, moving,
                             chunk=TIMED_STEPS, burn_in=0, thin=1)
 
+    # block_until_ready does not actually block under the axon tunnel;
+    # force host syncs with float(·)
     state, _ = warm(state)
-    jax.block_until_ready(state.v)
+    _ = float(jnp.sum(state.v))
     # compile the timed chunk before the clock starts
     state, m = timed(state)
-    jax.block_until_ready(state.v)
+    _ = float(jnp.sum(state.v))
 
     t0 = time.perf_counter()
     state, m = timed(state)
-    jax.block_until_ready(state.v)
+    _ = float(jnp.sum(state.v))
     dt = time.perf_counter() - t0
     return CHAINS * TIMED_STEPS / dt
 

@@ -85,13 +85,16 @@ class SVF3D:
         disp = v / float(2 ** self.no_steps)  # voxel units
         # Group runs of equal radius into lax.scan so each squaring body is
         # traced/compiled once (12 unrolled warp_bounded graphs fuse into a
-        # single enormous XLA module otherwise — 130s+ CPU compiles), and
-        # jax.checkpoint each body: the backward recomputes the blend from
-        # its carry instead of storing the padded intermediates.
+        # single enormous XLA module otherwise — 130s+ CPU compiles).  No
+        # jax.checkpoint: warp_bounded's analytic VJP keeps only its inputs
+        # as residuals, which are exactly the scan carries — remat would add
+        # a recompute pass plus layout-shuffled carry copies for nothing.
         g = im
         for radius, count in self._radius_runs:
             if g is None:
-                step = jax.checkpoint(lambda d, r=radius: d + warp_bounded(d, d, r))
+                def step(d, r=radius):
+                    return d + warp_bounded(d, d, r)
+
                 if count == 1:
                     disp = step(disp)
                 else:
@@ -100,10 +103,13 @@ class SVF3D:
                         length=count)
             else:
                 def step_im(d, g, r=radius):
-                    g = warp_bounded(g, d, r)  # g ∘ T_k first (uses d_k)
-                    return d + warp_bounded(d, d, r), g
+                    # fuse: d and g are warped by the same displacement, so
+                    # one 4-channel blend shares the weight computation
+                    both = jnp.concatenate([d, g[None] if g.ndim == 3 else g], axis=0)
+                    warped = warp_bounded(both, d, r)
+                    g_w = warped[3:]
+                    return d + warped[:3], g_w[0] if g.ndim == 3 else g_w
 
-                step_im = jax.checkpoint(step_im)
                 if count == 1:
                     disp, g = step_im(disp, g)
                 else:

@@ -47,10 +47,10 @@ def _shift_x_clamped(slab: jnp.ndarray, ox: int, W: int, col: jnp.ndarray):
 
 def _warp_kernel(vol_hbm, disp_ref, out_ref, window, sem,
                  *, R: int, TD: int, H: int, W: int):
-    P = R + 1
+    P = R
     c = pl.program_id(0)
     i = pl.program_id(1)
-    offsets = list(range(-R, R + 2))
+    offsets = list(range(-R, R + 1))
 
     # DMA the haloed z-window of this channel into VMEM (~1 MB).  vol_hbm is
     # channel-flattened to (C·Dp, Hp, W) so the window is one dynamic slice.
@@ -121,7 +121,7 @@ def warp_bounded_pallas(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int,
     ``ops.resample.warp_bounded``): ``vol (C?, D, H, W)``, ``disp (3, D, H, W)``.
     """
     R = int(radius)
-    P = R + 1
+    P = R
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[None]

@@ -131,7 +131,7 @@ def _looped_blend(padded, dx, dy, dz, R, P, out_shape):
     """fori_loop over the z offset with the (2R+2)^2 in-plane blend unrolled;
     bounds compile time and working set for large radii."""
     D, H, W = out_shape
-    offsets = list(range(-R, R + 2))
+    offsets = list(range(-R, R + 1))
     n_off = len(offsets)
 
     def tri(d, o):
@@ -181,14 +181,14 @@ def _warp_bounded_impl(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int) -> 
     :param radius: static per-axis displacement bound R (voxels).
     """
     R = int(radius)
-    P = R + 1
+    P = R
     out_shape = vol.shape[-3:]
     d = jnp.clip(disp_vox, -R, R)
     dx, dy, dz = d[0], d[1], d[2]
     padded = jnp.pad(vol, [(0, 0)] * (vol.ndim - 3) + [(P, P)] * 3, mode="edge")
 
     if R <= 2:  # 64 / 216 terms: unroll everything, let XLA fuse one kernel
-        offsets = list(range(-R, R + 2))
+        offsets = list(range(-R, R + 1))
 
         def tri(dd, o):
             return jnp.maximum(0.0, 1.0 - jnp.abs(dd - o))
@@ -253,13 +253,13 @@ def _warp_bounded_bwd_impl(vol, disp_vox, radius, g):
     per transition at 128³).
     """
     R = int(radius)
-    P = R + 1
+    P = R
     D, H, W = vol.shape[-3:]
     lead = vol.ndim - 3  # 0 (scalar volume) or 1 (channel axis)
     d = jnp.clip(disp_vox, -R, R)
     dx, dy, dz = d[0], d[1], d[2]
     padded = jnp.pad(vol, [(0, 0)] * lead + [(P, P)] * 3, mode="edge")
-    offsets = list(range(-R, R + 2))
+    offsets = list(range(-R, R + 1))
     n_off = len(offsets)
 
     # ---- pass 1: g_dx, g_dy, g_dz ---------------------------------------
