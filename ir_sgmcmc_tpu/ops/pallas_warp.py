@@ -33,6 +33,10 @@ def _tri(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
+def _dtri(t):
+    return -jnp.sign(t) * (jnp.abs(t) < 1.0).astype(t.dtype)
+
+
 def _shift_x_clamped(slab: jnp.ndarray, ox: int, W: int, col: jnp.ndarray):
     """``slab`` shifted by ``ox`` along the lane axis with border clamping."""
     if ox == 0:
@@ -101,6 +105,271 @@ def _warp_kernel(vol_hbm, disp_ref, out_ref, window, sem,
     jax.lax.fori_loop(0, TD, zbody, 0)
 
 
+def _dgrad_kernel(vol_hbm, disp_ref, g_ref, out_ref, window, sem,
+                  *, R: int, TD: int, H: int, W: int):
+    """Displacement-gradient pass of the warp backward.
+
+    g_d-axis(p) = Σ_o  W'_axis(d-o) · (other-axis weights) · Σ_c g_c(p)·vol_c(p+o)
+
+    Same slab access pattern as the forward kernel plus the derivative
+    weights.  The grid is (z-tile, channel) with channel fastest: the output
+    block is revisited across the channel sweep and accumulates the
+    per-channel contributions in VMEM.
+    """
+    P = R
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    offsets = list(range(-R, R + 1))
+
+    Dp = pl.num_programs(0) * TD + 2 * P
+    dma = pltpu.make_async_copy(
+        vol_hbm.at[pl.ds(c * Dp + i * TD, TD + 2 * P)], window, sem)
+    dma.start()
+    dma.wait()
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    Hp = window.shape[1]
+
+    def zbody(z, _):
+        d = jnp.clip(disp_ref[:, z], -R, R)  # (3, H, W)
+        dx, dy, dz = d[0], d[1], d[2]
+        g = g_ref[0, z]  # (H, W) — this channel's cotangent slice
+        wx = [_tri(dx - ox) for ox in offsets]
+        dwx = [_dtri(dx - ox) for ox in offsets]
+        wy = [_tri(dy - oy) for oy in offsets]
+        dwy = [_dtri(dy - oy) for oy in offsets]
+
+        acc_x = jnp.zeros((H, W), jnp.float32)
+        acc_y = jnp.zeros_like(acc_x)
+        acc_z = jnp.zeros_like(acc_x)
+
+        def accumulate(carry, oz, wz, dwz):
+            acc_x, acc_y, acc_z = carry
+            plane = window[pl.ds(z + P + oz, 1), :, :].reshape(Hp, W)
+            for iy, oy in enumerate(offsets):
+                rolled = pltpu.roll(plane, (-(P + oy)) % Hp, axis=0)
+                slab = rolled[0:H, :]
+                for ix, ox in enumerate(offsets):
+                    gs = g * _shift_x_clamped(slab, ox, W, col)
+                    acc_x = acc_x + (dwx[ix] * wy[iy] * wz) * gs
+                    acc_y = acc_y + (wx[ix] * dwy[iy] * wz) * gs
+                    acc_z = acc_z + (wx[ix] * wy[iy] * dwz) * gs
+            return acc_x, acc_y, acc_z
+
+        carry = (acc_x, acc_y, acc_z)
+        if R <= 2:
+            for oz in offsets:
+                carry = accumulate(carry, oz, _tri(dz - oz), _dtri(dz - oz))
+        else:
+            def body(k, carry):
+                oz = k - R
+                ozf = oz.astype(jnp.float32)
+                return accumulate(carry, oz, _tri(dz - ozf), _dtri(dz - ozf))
+
+            carry = jax.lax.fori_loop(0, len(offsets), body, carry)
+
+        for axis in range(3):
+            part = carry[axis]
+            prev = jnp.where(c > 0, out_ref[axis, z], 0.0)
+            out_ref[axis, z] = prev + part
+        return 0
+
+    jax.lax.fori_loop(0, TD, zbody, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def warp_bounded_dgrad_pallas(vol, disp_vox, g, radius: int,
+                              interpret: bool = False):
+    """Pallas displacement-gradient pass: returns dU/d(disp) given cotangent
+    ``g`` (saturation masking of the clip is applied by the caller)."""
+    @jax.custom_batching.sequential_vmap
+    def call(vol, disp_vox, g):
+        return _dgrad_pallas(vol, disp_vox, g, radius, interpret)
+
+    return call(vol, disp_vox, g)
+
+
+def _dgrad_pallas(vol, disp_vox, g, radius, interpret):
+    R = int(radius)
+    P = R
+    if vol.ndim == 3:
+        vol = vol[None]
+        g = g[None]
+    C, D, H, W = vol.shape
+    TD = 8 if D % 8 == 0 else D
+
+    Hp = H + 2 * P + (-(H + 2 * P)) % 8
+    Dp = D + 2 * P
+    padded = jnp.pad(vol, [(0, 0), (P, P), (P, Hp - H - P), (0, 0)], mode="edge")
+    padded = padded.reshape(C * Dp, Hp, W)
+
+    return pl.pallas_call(
+        functools.partial(_dgrad_kernel, R=R, TD=TD, H=H, W=W),
+        grid=(D // TD, C),  # channel fastest: output block accumulates
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, TD, H, W), lambda i, c: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TD, H, W), lambda i, c: (c, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, TD, H, W), lambda i, c: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, D, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TD + 2 * P, Hp, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(padded, disp_vox, g)
+
+
+def _rollx_zero(a: jnp.ndarray, ox: int, W: int, col: jnp.ndarray):
+    """``a`` shifted so element x' holds a(x'-ox), zero outside [0, W)."""
+    if ox == 0:
+        return a
+    rolled = pltpu.roll(a, ox % W, axis=a.ndim - 1)
+    if ox > 0:
+        return jnp.where(col >= ox, rolled, 0.0)
+    return jnp.where(col < W + ox, rolled, 0.0)
+
+
+def _tblend_kernel(x_hbm, out_ref, window, sem,
+                   *, R: int, C: int, TZ: int, Hy: int, Hy_out: int, W: int):
+    """Transpose-blend pass of the warp backward (gradient w.r.t. the volume).
+
+    Computes the z/y-*unfolded* padded gradient
+        g_padded(r) = Σ_o (w_o ⊙ g)(r − P − o)
+    with the x-axis edge-fold applied in-kernel: the interior term is a
+    zero-filled lane roll, and the mass that falls outside [0, W) is exactly
+    the border-clamp fold — summed and deposited on the edge lanes.  The
+    caller slices the valid region and folds z and y (thin concats in XLA).
+
+    Inputs are channel-stacked [g(C), dx, dy, dz], zero-padded by 2P in z
+    and y, flattened to ((C+3)·Dz, Hy, W) for windowed DMA.
+    """
+    P = R
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    offsets = list(range(-R, R + 1))
+    Dz = pl.num_programs(1) * TZ + 2 * P
+
+    # window slot 0: this grid step's g channel; slots 1-3: disp channels
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(c * Dz + i * TZ, TZ + 2 * P)], window.at[0], sem)
+    dma.start()
+    dma.wait()
+    for ch in range(3):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds((C + ch) * Dz + i * TZ, TZ + 2 * P)],
+            window.at[1 + ch], sem)
+        dma.start()
+        dma.wait()
+    col = jax.lax.broadcasted_iota(jnp.int32, (Hy, W), 1)
+
+    def rbody(r, _):
+        acc = jnp.zeros((Hy_out, W), jnp.float32)
+
+        def accumulate(acc, oz, s):
+            # source rows for this z-offset (shared by all y/x terms)
+            dxr = jnp.clip(window[1, s], -R, R)
+            dyr = jnp.clip(window[2, s], -R, R)
+            dzr = jnp.clip(window[3, s], -R, R)
+            gc = window[0, s]
+            wz = _tri(dzr - oz)
+            wxs = [_tri(dxr - ox) for ox in offsets]
+            for oy in offsets:
+                b = (wz * _tri(dyr - oy)) * gc
+                inner = jnp.zeros((Hy, W), jnp.float32)
+                for ix, ox in enumerate(offsets):
+                    a = wxs[ix] * b
+                    inner = inner + _rollx_zero(a, ox, W, col)
+                    # x edge-fold: out-of-range mass onto the border lane
+                    if ox < 0:
+                        lo = jnp.sum(jnp.where(col < -ox, a, 0.0),
+                                     axis=1, keepdims=True)
+                        inner = inner + jnp.where(col == 0, lo, 0.0)
+                    elif ox > 0:
+                        hi = jnp.sum(jnp.where(col >= W - ox, a, 0.0),
+                                     axis=1, keepdims=True)
+                        inner = inner + jnp.where(col == W - 1, hi, 0.0)
+                # y shift: element y' takes inner(y' + P - oy)
+                rolled = pltpu.roll(inner, (-(P - oy)) % Hy, axis=0)
+                acc = acc + rolled[0:Hy_out, :]
+            return acc
+
+        if R <= 2:
+            for oz in offsets:
+                acc = accumulate(acc, oz, r + P - oz)
+        else:
+            def body(k, acc):
+                oz = k - R
+                return accumulate(acc, oz.astype(jnp.float32), r + P - oz)
+
+            acc = jax.lax.fori_loop(0, len(offsets), body, acc)
+
+        out_ref[0, r] = acc
+        return 0
+
+    jax.lax.fori_loop(0, TZ, rbody, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def warp_bounded_tblend_pallas(disp_vox, g, radius: int, interpret: bool = False):
+    """Pallas transpose-blend: gradient w.r.t. the volume, ready-folded in x.
+
+    Returns the g_padded tensor of extent ``(C, D+2P, H+2P, W)`` (x already
+    edge-folded); the caller folds z and y with
+    ``resample._fold_edge(·, P, axes=(-3, -2))``.
+    """
+    @jax.custom_batching.sequential_vmap
+    def call(disp_vox, g):
+        return _tblend_pallas(disp_vox, g, radius, interpret)
+
+    return call(disp_vox, g)
+
+
+def _tblend_pallas(disp_vox, g, radius, interpret):
+    R = int(radius)
+    P = R
+    squeeze = g.ndim == 3
+    if squeeze:
+        g = g[None]
+    C, D, H, W = g.shape
+    TZ = 8
+
+    Dp_out = D + 2 * P
+    Dz_out = Dp_out + (-Dp_out) % TZ
+    Hp_out = H + 2 * P
+    Hy_out = Hp_out + (-Hp_out) % 8
+    Hy = Hy_out + 2 * P + (-(Hy_out + 2 * P)) % 8
+    Dz = Dz_out + 2 * P
+
+    x = jnp.concatenate([g, disp_vox], axis=0)  # (C+3, D, H, W)
+    x = jnp.pad(x, [(0, 0), (2 * P, Dz - D - 2 * P), (2 * P, Hy - H - 2 * P), (0, 0)])
+    x = x.reshape((C + 3) * Dz, Hy, W)
+
+    out = pl.pallas_call(
+        functools.partial(_tblend_kernel, R=R, C=C, TZ=TZ, Hy=Hy,
+                          Hy_out=Hy_out, W=W),
+        grid=(C, Dz_out // TZ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, TZ, Hy_out, W), lambda c, i: (c, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, Dz_out, Hy_out, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, TZ + 2 * P, Hy, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+    out = out[:, :Dp_out, :Hp_out, :]
+    return out[0] if squeeze else out
+
+
 def pallas_applicable(vol_shape, radius: int) -> bool:
     """Kernel constraints: lane-aligned W, tileable z, bounded halo window."""
     D, H, W = vol_shape[-3:]
@@ -119,7 +388,19 @@ def warp_bounded_pallas(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int,
                         interpret: bool = False) -> jnp.ndarray:
     """Pallas forward of the bounded trilinear warp (same contract as
     ``ops.resample.warp_bounded``): ``vol (C?, D, H, W)``, ``disp (3, D, H, W)``.
+
+    vmap (the chain axis) lowers to a sequential per-chain loop — the kernel
+    already saturates the chip, so batching buys nothing and ANY-space HBM
+    operands cannot be block-batched.
     """
+    @jax.custom_batching.sequential_vmap
+    def call(vol, disp_vox):
+        return _warp_pallas(vol, disp_vox, radius, interpret)
+
+    return call(vol, disp_vox)
+
+
+def _warp_pallas(vol, disp_vox, radius, interpret):
     R = int(radius)
     P = R
     squeeze = vol.ndim == 3
@@ -151,6 +432,8 @@ def warp_bounded_pallas(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int,
             pltpu.VMEM((TD + 2 * P, Hp, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(padded, disp_vox)
     return out[0] if squeeze else out

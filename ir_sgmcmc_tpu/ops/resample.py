@@ -226,9 +226,9 @@ def _dtri(t):
     return -jnp.sign(t) * (jnp.abs(t) < 1.0).astype(t.dtype)
 
 
-def _fold_edge(gp: jnp.ndarray, P: int) -> jnp.ndarray:
+def _fold_edge(gp: jnp.ndarray, P: int, axes=(-3, -2, -1)) -> jnp.ndarray:
     """Transpose of ``jnp.pad(mode='edge')``: sum pad slabs onto the borders."""
-    for axis in (-3, -2, -1):
+    for axis in axes:
         n = gp.shape[axis] - 2 * P
         lo = jax.lax.slice_in_dim(gp, 0, P, axis=axis).sum(axis=axis, keepdims=True)
         core = jax.lax.slice_in_dim(gp, P, P + n, axis=axis)
@@ -253,6 +253,13 @@ def _warp_bounded_bwd_impl(vol, disp_vox, radius, g):
     per transition at 128³).
     """
     R = int(radius)
+    g_disp = _bwd_dgrads_xla(vol, disp_vox, R, g)
+    g_vol = _bwd_tblend_xla(vol, disp_vox, R, g)
+    return g_vol, g_disp
+
+
+def _bwd_dgrads_xla(vol, disp_vox, R, g):
+    """Pass 1: gradients w.r.t. the displacement channels."""
     P = R
     D, H, W = vol.shape[-3:]
     lead = vol.ndim - 3  # 0 (scalar volume) or 1 (channel axis)
@@ -262,7 +269,6 @@ def _warp_bounded_bwd_impl(vol, disp_vox, radius, g):
     offsets = list(range(-R, R + 1))
     n_off = len(offsets)
 
-    # ---- pass 1: g_dx, g_dy, g_dz ---------------------------------------
     wx = [_tri(dx - o) for o in offsets]
     wy = [_tri(dy - o) for o in offsets]
     dwx = [_dtri(dx - o) for o in offsets]
@@ -296,11 +302,22 @@ def _warp_bounded_bwd_impl(vol, disp_vox, radius, g):
     g_dx, g_dy, g_dz = carry
     g_disp = jnp.stack([g_dx, g_dy, g_dz], axis=0)
     # clip: no gradient where the displacement was saturated
-    g_disp = jnp.where(jnp.abs(disp_vox) <= R, g_disp, 0.0)
+    return jnp.where(jnp.abs(disp_vox) <= R, g_disp, 0.0)
 
-    # ---- pass 2: g_vol (transpose blend) ---------------------------------
-    # g_padded(r) = Σ_o (w_o ⊙ g)(r − P − o); with X = zeropad_{2P}(·), the
-    # term re-indexes as X(w_o ⊙ g)(r + P − o) — a slice at start P−o ≥ 0.
+
+def _bwd_tblend_xla(vol, disp_vox, R, g):
+    """Pass 2: gradient w.r.t. the volume (transpose blend).
+
+    g_padded(r) = Σ_o (w_o ⊙ g)(r − P − o); with X = zeropad_{2P}(·), the
+    term re-indexes as X(w_o ⊙ g)(r + P − o) — a slice at start P−o ≥ 0.
+    """
+    P = R
+    D, H, W = vol.shape[-3:]
+    lead = vol.ndim - 3
+    d = jnp.clip(disp_vox, -R, R)
+    dx, dy, dz = d[0], d[1], d[2]
+    offsets = list(range(-R, R + 1))
+    n_off = len(offsets)
     pad2 = [(0, 0)] * lead + [(2 * P, 2 * P)] * 3
     gpad = jnp.pad(g, pad2)
     dxp = jnp.pad(dx, [(2 * P, 2 * P)] * 3)
@@ -338,24 +355,49 @@ def _warp_bounded_bwd_impl(vol, disp_vox, radius, g):
             return t_blend(acc, i - R)
 
         acc = jax.lax.fori_loop(0, n_off, tbody, acc0)
-    g_vol = _fold_edge(acc, P)
-    return g_vol, g_disp
+    return _fold_edge(acc, P)
+
+
+def _use_pallas(vol_shape, radius: int) -> bool:
+    """Dispatch to the Pallas kernel on TPU for kernel-compatible shapes."""
+    if jax.default_backend() != "tpu":
+        return False
+    from .pallas_warp import pallas_applicable
+
+    return pallas_applicable(vol_shape, radius)
+
+
+def _warp_fwd_dispatch(vol, disp_vox, radius):
+    if _use_pallas(vol.shape, radius):
+        from .pallas_warp import warp_bounded_pallas
+
+        return warp_bounded_pallas(vol, disp_vox, radius)
+    return _warp_bounded_impl(vol, disp_vox, radius)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def warp_bounded(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int) -> jnp.ndarray:
-    return _warp_bounded_impl(vol, disp_vox, radius)
+    return _warp_fwd_dispatch(vol, disp_vox, radius)
 
 
 warp_bounded.__doc__ = _warp_bounded_impl.__doc__
 
 
 def _wb_fwd(vol, disp_vox, radius):
-    return _warp_bounded_impl(vol, disp_vox, radius), (vol, disp_vox)
+    return _warp_fwd_dispatch(vol, disp_vox, radius), (vol, disp_vox)
 
 
 def _wb_bwd(radius, residuals, g):
     vol, disp_vox = residuals
+    if _use_pallas(vol.shape, radius):
+        from .pallas_warp import warp_bounded_dgrad_pallas, warp_bounded_tblend_pallas
+
+        R = int(radius)
+        g_disp = warp_bounded_dgrad_pallas(vol, disp_vox, g, R)
+        g_disp = jnp.where(jnp.abs(disp_vox) <= R, g_disp, 0.0)
+        g_vol = _fold_edge(warp_bounded_tblend_pallas(disp_vox, g, R), R,
+                           axes=(-3, -2))
+        return g_vol, g_disp
     return _warp_bounded_bwd_impl(vol, disp_vox, radius, g)
 
 
