@@ -1,4 +1,4 @@
-from .halo import gradient_d_sharded, separable_conv3d_sharded
+from .halo import gradient_d_sharded, separable_conv3d_sharded, warp_bounded_sharded
 from .mesh import make_mesh, replicate, shard_chain_state
 
 __all__ = [
@@ -7,4 +7,5 @@ __all__ = [
     "replicate",
     "separable_conv3d_sharded",
     "gradient_d_sharded",
+    "warp_bounded_sharded",
 ]

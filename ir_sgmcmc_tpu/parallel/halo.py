@@ -85,6 +85,58 @@ def separable_conv3d_sharded(field, kernel, mesh: Mesh, axis_name: str = "space"
     return _run(field)
 
 
+def _warp_bounded_zhalo(vol_zh, disp, radius: int):
+    """Bounded blend warp of a block whose D axis already carries an
+    ``R``-slice halo (y/x replicate-pad locally).  Output spatial shape =
+    ``disp.shape[-3:]``."""
+    from ..ops.resample import _looped_blend, _unrolled_blend
+
+    R = P = int(radius)
+    out_shape = disp.shape[-3:]
+    d = jnp.clip(disp, -R, R)
+    dx, dy, dz = d[0], d[1], d[2]
+    lead = vol_zh.ndim - 3
+    padded = jnp.pad(vol_zh, [(0, 0)] * lead + [(0, 0), (P, P), (P, P)],
+                     mode="edge")
+    offsets = list(range(-R, R + 1))
+    if R <= 2:
+        def tri(dd, o):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(dd - o))
+
+        wx = [tri(dx, o) for o in offsets]
+        wy = [tri(dy, o) for o in offsets]
+        wz = [tri(dz, o) for o in offsets]
+        return _unrolled_blend(padded, wx, wy, wz, offsets, P, out_shape)
+    return _looped_blend(padded, dx, dy, dz, R, P, out_shape)
+
+
+def warp_bounded_sharded(vol, disp_vox, radius: int, mesh: Mesh,
+                         axis_name: str = "space"):
+    """Bounded trilinear warp of a D-sharded volume (halo exchange over ICI).
+
+    The displacement bound ``R`` means each shard needs exactly ``R`` slices
+    of halo from each neighbour (SURVEY.md §7's "halo-limited warp"); the
+    outermost shards replicate-pad, reproducing single-device border-clamp
+    semantics bit-for-bit.  ``vol``: ``(C?, D, H, W)`` sharded along D;
+    ``disp_vox``: ``(3, D, H, W)`` sharded the same way.
+
+    Differentiation uses plain autodiff through the local blend (the
+    single-device analytic-VJP/Pallas path assumes self-padded blocks);
+    spatially-sharded training at scale should fuse the halo exchange into
+    the Pallas kernels — future work.
+    """
+    vspec = P(*((None,) * (vol.ndim - 3)), axis_name, None, None)
+    dspec = P(None, axis_name, None, None)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(vspec, dspec),
+                       out_specs=vspec)
+    def _run(v, d):
+        v_h = _exchange_halo_d(v, int(radius), axis_name)
+        return _warp_bounded_zhalo(v_h, d, int(radius))
+
+    return _run(vol, disp_vox)
+
+
 def gradient_d_sharded(field, mesh: Mesh, axis_name: str = "space"):
     """Forward-difference along D for a D-sharded ``(..., D, H, W)`` field.
 

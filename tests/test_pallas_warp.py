@@ -34,3 +34,41 @@ def test_pallas_applicable():
     assert pallas_applicable((128, 128, 128), 1)
     assert not pallas_applicable((128, 128, 100), 1)  # unaligned lanes
     assert not pallas_applicable((9, 128, 128), 1)  # untileable z
+
+
+@pytest.mark.parametrize("shape,radius,chan", [
+    ((8, 8, 128), 1, None),
+    ((8, 8, 128), 2, 4),
+    ((16, 16, 128), 4, 3),
+])
+def test_pallas_backward_kernels_match_xla(shape, radius, chan):
+    import jax.numpy as jnp
+
+    from ir_sgmcmc_tpu.ops.pallas_warp import (
+        warp_bounded_dgrad_pallas,
+        warp_bounded_tblend_pallas,
+    )
+    from ir_sgmcmc_tpu.ops.resample import (
+        _bwd_dgrads_xla,
+        _bwd_tblend_xla,
+        _fold_edge,
+    )
+
+    rng = np.random.default_rng(1)
+    vshape = ((chan,) if chan else ()) + shape
+    vol = jnp.asarray(rng.standard_normal(vshape).astype(np.float32))
+    disp = jnp.asarray(
+        ((rng.random((3,) + shape) * 2 - 1) * radius * 1.2).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(vshape).astype(np.float32))
+
+    gd = warp_bounded_dgrad_pallas(vol, disp, g, radius, interpret=True)
+    gd = jnp.where(jnp.abs(disp) <= radius, gd, 0.0)
+    np.testing.assert_allclose(np.asarray(gd),
+                               np.asarray(_bwd_dgrads_xla(vol, disp, radius, g)),
+                               atol=1e-5)
+
+    gp = warp_bounded_tblend_pallas(disp, g, radius, interpret=True)
+    gv = _fold_edge(gp, radius, axes=(-3, -2))
+    np.testing.assert_allclose(np.asarray(gv),
+                               np.asarray(_bwd_tblend_xla(vol, disp, radius, g)),
+                               atol=1e-5)

@@ -95,3 +95,24 @@ def test_sharded_mcmc_chunk_matches_unsharded():
     np.testing.assert_allclose(np.asarray(s_shard.v), np.asarray(s_plain.v), atol=1e-5)
     # verify the state is actually distributed
     assert len(s_shard.v.sharding.device_set) == 8
+
+
+def test_warp_bounded_sharded_matches_single_device():
+    """D-sharded warp with halo exchange == single-device bounded warp."""
+    import jax.numpy as jnp
+
+    from ir_sgmcmc_tpu.ops.resample import _warp_bounded_impl
+    from ir_sgmcmc_tpu.parallel import make_mesh, warp_bounded_sharded
+
+    rng = np.random.default_rng(11)
+    dims = (16, 12, 12)
+    mesh = make_mesh((1, 8), axes=("chain", "space"))
+    for radius, chan in [(1, None), (2, 3)]:
+        vshape = ((chan,) if chan else ()) + dims
+        vol = jnp.asarray(rng.standard_normal(vshape).astype(np.float32))
+        disp = jnp.asarray(
+            ((rng.random((3,) + dims) * 2 - 1) * radius * 1.2).astype(np.float32))
+        sharded = warp_bounded_sharded(vol, disp, radius, mesh)
+        single = _warp_bounded_impl(vol, disp, radius)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                                   atol=1e-5)
