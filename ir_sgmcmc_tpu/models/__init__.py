@@ -16,9 +16,10 @@ from .reg_loss import (
     make_reg_loss,
 )
 from .sampler import add_uniform_noise, langevin_noise, sample_q_v, sgld_step
-from .transformation import BSplineFFD3D, SVF3D, SVFFD3D, make_transformation
+from .transformation import BSplineFFD3D, SVF2D, SVF3D, SVFFD3D, make_transformation
 
 __all__ = [
+    "SVF2D",
     "SVF3D",
     "SVFFD3D",
     "BSplineFFD3D",

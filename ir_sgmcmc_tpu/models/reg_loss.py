@@ -35,16 +35,26 @@ class RegLoss:
     param_names: tuple = ()
 
     def __init__(self, diff_op="GradientOperator", dims=None, learnable=False):
-        if diff_op not in (None, "Identity", "GradientOperator"):
+        if diff_op not in (None, "Identity", "GradientOperator",
+                           "Fourier1stDerivativeOperator"):
             raise ValueError(f"unsupported diff_op: {diff_op}")
-        self.use_gradient = diff_op == "GradientOperator"
+        self.diff_op = diff_op or "Identity"
         self.dims = tuple(dims) if dims is not None else None
         self.dof = float(3.0 * math.prod(self.dims)) if dims is not None else None
         self.learnable = bool(learnable)
 
     def energy(self, v: jnp.ndarray) -> jnp.ndarray:
-        if self.use_gradient:
+        if self.diff_op == "GradientOperator":
             return reg_energy(v)
+        if self.diff_op == "Fourier1stDerivativeOperator":
+            # working version of the reference's dead frequency-domain path
+            # (utils/diff_op.py:41-59): y = Σ ‖ |ω| v̂ ‖²
+            from ..ops.fourier import fourier_derivative_magnitude
+
+            dv = fourier_derivative_magnitude(v)
+            if v.ndim == 4:
+                return jnp.sum(dv * dv)
+            return jnp.sum(dv * dv, axis=tuple(range(1, v.ndim)))
         if v.ndim == 4:
             return jnp.sum(v * v)
         return jnp.sum(v * v, axis=tuple(range(1, v.ndim)))

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..ops.bspline import CubicBSplineFFD3D, control_grid_size
 from ..ops.grids import identity_grid, normalised_to_voxel, voxel_to_normalised
-from ..ops.resample import grid_sample, warp_bounded
+from ..ops.resample import grid_sample, grid_sample_2d, warp_bounded
 
 
 class SVF3D:
@@ -135,6 +135,44 @@ class SVF3D:
         return transformation, normalised_to_voxel(disp)
 
 
+class SVF2D:
+    """2D stationary velocity field (scaling and squaring).
+
+    Reference: /root/reference/utils/transformation.py:23-48 (``SVF_2D``,
+    used by its debug plots and tests).  2D fields are small, so the
+    gather-based formulation is used directly.
+    """
+
+    def __init__(self, dims, no_steps: int = 12):
+        self.dims = tuple(int(d) for d in dims)  # (H, W)
+        self.no_steps = int(no_steps)
+        H, W = self.dims
+        x = jnp.linspace(-1.0, 1.0, W, dtype=jnp.float32)
+        y = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)
+        yy, xx = jnp.meshgrid(y, x, indexing="ij")
+        self.id_grid = jnp.stack([xx, yy], axis=0)
+
+    def _vox_to_norm(self, field):
+        H, W = self.dims
+        scale = jnp.array([2.0 / (W - 1), 2.0 / (H - 1)], jnp.float32)
+        return field * scale.reshape(2, 1, 1)
+
+    def __call__(self, v: jnp.ndarray):
+        """``v``: ``(2, H, W)`` voxel-unit velocity ->
+        (transformation [-1,1], displacement voxels)."""
+        disp = self._vox_to_norm(v) / float(2 ** self.no_steps)
+
+        def squaring_step(disp, _):
+            disp = disp + grid_sample_2d(disp, self.id_grid + disp, mode="linear")
+            return disp, None
+
+        disp, _ = jax.lax.scan(squaring_step, disp, None, length=self.no_steps)
+        transformation = self.id_grid + disp
+        H, W = self.dims
+        scale = jnp.array([(W - 1) / 2.0, (H - 1) / 2.0], jnp.float32)
+        return transformation, disp * scale.reshape(2, 1, 1)
+
+
 class BSplineFFD3D:
     """Dense velocity from cubic B-spline control points (no integration).
 
@@ -182,6 +220,8 @@ def make_transformation(kind: str, dims, cps=None, no_steps: int = 12, max_disp:
     """Factory used by the config layer (types mirror the reference names)."""
     if kind in ("SVF_3D", "SVF3D"):
         return SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather)
+    if kind in ("SVF_2D", "SVF2D"):
+        return SVF2D(dims, no_steps)
     if kind in ("SVFFD_3D", "SVFFD3D"):
         assert cps is not None, "SVFFD requires control point spacing (cps)"
         return SVFFD3D(dims, cps, no_steps, max_disp=max_disp, use_gather=use_gather)

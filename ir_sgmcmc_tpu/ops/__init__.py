@@ -1,11 +1,12 @@
 from .grids import (
     count_non_diffeomorphic,
     det_jacobian,
+    field_norm,
     identity_grid,
     normalised_to_voxel,
     voxel_to_normalised,
 )
-from .resample import grid_sample, warp, warp_bounded
+from .resample import grid_sample, grid_sample_2d, warp, warp_bounded
 from .sobolev import sobolev_kernel_1d, sobolev_smooth
 from .stencil import (
     box_filter3d,
@@ -22,8 +23,10 @@ __all__ = [
     "voxel_to_normalised",
     "normalised_to_voxel",
     "det_jacobian",
+    "field_norm",
     "count_non_diffeomorphic",
     "grid_sample",
+    "grid_sample_2d",
     "warp",
     "warp_bounded",
     "sobolev_kernel_1d",

@@ -71,6 +71,12 @@ def normalised_to_voxel(field: jnp.ndarray) -> jnp.ndarray:
     return field * scale
 
 
+def field_norm(field: jnp.ndarray) -> jnp.ndarray:
+    """Voxel-wise L2 norm over the channel axis of a ``(3, D, H, W)`` field
+    (batched leading axes allowed) — reference utils/util.py:215-225."""
+    return jnp.linalg.norm(field, axis=-4)
+
+
 def det_jacobian(jac: jnp.ndarray) -> jnp.ndarray:
     """Closed-form determinant of a field Jacobian.
 

@@ -111,6 +111,45 @@ def grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, mode: str = "linear") -> jn
     return out[0] if squeeze else out
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def grid_sample_2d(im: jnp.ndarray, grid: jnp.ndarray, mode: str = "linear") -> jnp.ndarray:
+    """2D analog of :func:`grid_sample` (torch semantics, border padding).
+
+    :param im: ``(H, W)`` or ``(C, H, W)``.
+    :param grid: ``(2, H', W')`` normalised coordinates (channel 0 = x/W).
+    """
+    squeeze = im.ndim == 2
+    if squeeze:
+        im = im[None]
+    C, H, W = im.shape
+    out_shape = grid.shape[1:]
+    ix = jnp.clip((grid[0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    iy = jnp.clip((grid[1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    im_flat = im.reshape(C, -1)
+
+    def gather(xi, yi):
+        idx = (yi * W + xi).reshape(-1)
+        return jnp.take(im_flat, idx, axis=-1).reshape((C,) + out_shape)
+
+    if mode == "nearest":
+        out = gather(jnp.rint(ix).astype(jnp.int32), jnp.rint(iy).astype(jnp.int32))
+    elif mode == "linear":
+        x0 = jnp.floor(ix)
+        y0 = jnp.floor(iy)
+        fx, fy = ix - x0, iy - y0
+        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, W - 1)
+        y1i = jnp.minimum(y0i + 1, H - 1)
+        c00, c10 = gather(x0i, y0i), gather(x1i, y0i)
+        c01, c11 = gather(x0i, y1i), gather(x1i, y1i)
+        c0 = c00 + (c10 - c00) * fx
+        c1 = c01 + (c11 - c01) * fx
+        out = c0 + (c1 - c0) * fy
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    return out[0] if squeeze else out
+
+
 def _unrolled_blend(padded, wx, wy, wz, offsets, P, out_shape):
     """Fully unrolled (2R+2)^3 shift-and-blend; used for small radii."""
     D, H, W = out_shape

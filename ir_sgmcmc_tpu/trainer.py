@@ -96,6 +96,12 @@ class Trainer:
                 "reg_energy", "ndv"]
         self.tracker = MetricTracker(*keys, writer=self.writer)
 
+        # experiment hyperparameters as tracked text (reference
+        # logger/writer.py:6-20 hparams patch)
+        import json as _json
+
+        self.writer.add_text("config", _json.dumps(config.cfg, indent=2, default=str))
+
     # ------------------------------------------------------------------ run
     def run(self):
         """Register every pair in the dataset; returns per-pair summaries."""
@@ -165,11 +171,19 @@ class Trainer:
         bundle = self.bundle
         labels = list(self.structures.values())
 
+        integrate = getattr(bundle.transformation, "integrate", None)
+
         @jax.jit
         def eval_v(v_unsmoothed):
             v = bundle.smooth(v_unsmoothed)
-            transformation, displacement = bundle.transformation(v)
-            im_warped = warp(moving["im"], transformation, method="linear")
+            if integrate is not None:
+                # image rides the squaring cascade (fast path, consistent
+                # with training); the segmentation needs nearest-neighbour
+                # semantics and keeps the gather
+                transformation, displacement, im_warped = integrate(v, im=moving["im"])
+            else:
+                transformation, displacement = bundle.transformation(v)
+                im_warped = warp(moving["im"], transformation, method="linear")
             seg_warped = warp(moving["seg"], transformation, method="nearest")
             jac = gradient(transformation, normalised_spacing=True)
             det = det_jacobian(jac)
@@ -312,12 +326,17 @@ class Trainer:
 
         # sampling speed test (trainer.py:276-289): sample -> smooth ->
         # integrate -> warp im + seg, timed over `speed_test_iters` draws
+        integrate_fn = getattr(bundle.transformation, "integrate", None)
+
         @jax.jit
         def speed_body(key, _):
             key, k = jax.random.split(key)
             v = bundle.smooth(sample_q_v(k, state.q_v))
-            transformation, _ = bundle.transformation(v)
-            im_w = warp(moving["im"], transformation, method="linear")
+            if integrate_fn is not None:
+                transformation, _, im_w = integrate_fn(v, im=moving["im"])
+            else:
+                transformation, _ = bundle.transformation(v)
+                im_w = warp(moving["im"], transformation, method="linear")
             seg_w = warp(moving["seg"], transformation, method="nearest")
             return key, (jnp.mean(im_w), jnp.sum(seg_w))
 

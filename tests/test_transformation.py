@@ -107,3 +107,60 @@ def test_control_grid_size_matches_reference_formula():
     # /root/reference/utils/util.py:61-69
     assert control_grid_size((128, 128, 128), (4, 4, 4)) == (35, 35, 35)
     assert control_grid_size((128, 128, 128), (2, 2, 2)) == (67, 67, 67)
+
+
+def test_svf2d_constant_velocity_is_translation():
+    """exp of a constant 2D velocity field is a pure translation."""
+    from ir_sgmcmc_tpu.models.transformation import SVF2D
+    from ir_sgmcmc_tpu.ops.resample import grid_sample_2d
+
+    H, W = 24, 24
+    svf = SVF2D((H, W), no_steps=12)
+    v = jnp.stack([jnp.full((H, W), 2.0), jnp.full((H, W), -1.5)])
+    transformation, disp = svf(v)
+    # interior displacement equals the velocity (boundary clamping aside)
+    np.testing.assert_allclose(np.asarray(disp[0][6:-6, 6:-6]), 2.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(disp[1][6:-6, 6:-6]), -1.5, atol=1e-3)
+
+    # warping a delta image moves it by (-2, +1.5) in (x, y)
+    im = jnp.zeros((H, W)).at[12, 12].set(1.0)
+    warped = grid_sample_2d(im, transformation, mode="linear")
+    peak = np.unravel_index(np.argmax(np.asarray(warped)), (H, W))
+    # sampling at p + d pulls intensity from the displaced location
+    assert abs(peak[1] - (12 - 2)) <= 1 and abs(peak[0] - (12 + 1.5)) <= 1
+
+
+def test_grid_sample_2d_matches_torch():
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from ir_sgmcmc_tpu.ops.resample import grid_sample_2d
+
+    rng = np.random.default_rng(5)
+    im = rng.standard_normal((9, 11)).astype(np.float32)
+    grid = (rng.random((2, 7, 8)).astype(np.float32) * 2.4 - 1.2)  # beyond borders
+    ours = grid_sample_2d(jnp.asarray(im), jnp.asarray(grid), mode="linear")
+    tgrid = torch.from_numpy(np.moveaxis(grid, 0, -1))[None]
+    theirs = F.grid_sample(torch.from_numpy(im)[None, None], tgrid,
+                           mode="bilinear", padding_mode="border",
+                           align_corners=True)[0, 0].numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+
+def test_fourier_diff_op_reg_loss():
+    import jax
+    from ir_sgmcmc_tpu.models.reg_loss import RegLossL2
+
+    dims = (8, 8, 8)
+    reg = RegLossL2(w_reg=1.0, dims=dims, diff_op="Fourier1stDerivativeOperator")
+    p = reg.init_params()
+    v = jnp.asarray(np.random.default_rng(0).standard_normal((3,) + dims),
+                    jnp.float32)
+    loss, log_y = reg(p, v)
+    assert np.isfinite(float(loss)) and np.isfinite(float(log_y))
+    g = jax.grad(lambda v: jnp.sum(reg(p, v)[0]))(v)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # constant fields carry zero derivative energy
+    _, log_y0 = reg(p, jnp.ones_like(v))
+    assert float(jnp.exp(log_y0)) < 1e-4
