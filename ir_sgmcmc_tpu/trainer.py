@@ -22,7 +22,6 @@ metrics.
 
 from __future__ import annotations
 
-import math
 import time
 
 import numpy as np
@@ -32,7 +31,6 @@ import jax.numpy as jnp
 
 from .config import Config
 from .engine import (
-    MCMCState,
     VIState,
     gmm_warmup,
     init_chains,
@@ -112,6 +110,21 @@ class Trainer:
         return summaries
 
     def _run_pair(self, pair_idx: int) -> dict:
+        # pairs beyond the first get their own artifact subtree (the
+        # reference's loader always has exactly one pair; multi-pair runs
+        # are an upgrade and must not overwrite each other's outputs)
+        if pair_idx > 0:
+            base = dict(self.config.save_dirs)
+            self.save_dirs = {
+                k: (p if k == "dir" else p.parent / f"pair_{pair_idx}" / p.name)
+                for k, p in base.items()
+            }
+            for k, p in self.save_dirs.items():
+                if k != "dir":
+                    p.mkdir(parents=True, exist_ok=True)
+        else:
+            self.save_dirs = self.config.save_dirs
+
         fixed_np, moving_np, q_v0 = self.dataset[pair_idx]
         if self.dataset.im_spacing is not None:
             sp = np.ravel(np.asarray(self.dataset.im_spacing, np.float32))
@@ -119,10 +132,10 @@ class Trainer:
         fixed = {k: jnp.asarray(v) for k, v in fixed_np.items()}
         moving = {k: jnp.asarray(v) for k, v in moving_np.items()}
 
-        savers.save_fixed_im(self.config.save_dirs, self.spacing, fixed_np["im"])
-        savers.save_moving_im(self.config.save_dirs, self.spacing, moving_np["im"])
-        savers.save_fixed_mask(self.config.save_dirs, self.spacing, fixed_np["mask"])
-        savers.save_moving_mask(self.config.save_dirs, self.spacing, moving_np["mask"])
+        savers.save_fixed_im(self.save_dirs, self.spacing, fixed_np["im"])
+        savers.save_moving_im(self.save_dirs, self.spacing, moving_np["im"])
+        savers.save_fixed_mask(self.save_dirs, self.spacing, fixed_np["mask"])
+        savers.save_moving_mask(self.save_dirs, self.spacing, moving_np["mask"])
 
         state = VIState(
             q_v={k: jnp.asarray(v) for k, v in q_v0.items()},
@@ -276,7 +289,7 @@ class Trainer:
                 float(last["entropy_term"]), mean_dsc, int(last["ndv"]),
             )
             save_checkpoint(
-                self.config.save_dirs["models"] / "vi_latest.npz", state,
+                self.save_dirs["models"] / "vi_latest.npz", state,
                 {"phase_done": 0, "vi_iters": done, "config": self.config.name},
             )
         return state
@@ -304,19 +317,19 @@ class Trainer:
             self.writer.set_step(i)
             dscs.append(self._log_seg_metrics(fixed_seg_np, out, "VI_test"))
             if i % save_every == 0:
-                savers.save_sample(self.config.save_dirs, self.spacing, i,
+                savers.save_sample(self.save_dirs, self.spacing, i,
                                    out["im_warped"], out["displacement"],
                                    out["log_det_J"], "VI")
 
         # posterior mean transform (mu directly, trainer.py:258-263)
         out_mu = eval_fn(state.q_v["mu"])
         savers.save_variational_posterior_mean(
-            self.config.save_dirs, self.spacing, out_mu["im_warped"],
+            self.save_dirs, self.spacing, out_mu["im_warped"],
             out_mu["displacement"])
 
         mean, std = welford_finalize(welford)
         savers.save_displacement_mean_and_std_dev(
-            self.config.save_dirs, self.spacing, np.asarray(mean),
+            self.save_dirs, self.spacing, np.asarray(mean),
             np.asarray(std), np.asarray(fixed["mask"]), "VI")
         if self.writer.has_figures:
             from .utils import figures
@@ -425,7 +438,7 @@ class Trainer:
                     self._log_seg_metrics(fixed_seg_np, out_c, "MCMC", chain=c)
                     if post_burn_in:
                         savers.save_sample(
-                            self.config.save_dirs, self.spacing,
+                            self.save_dirs, self.spacing,
                             done - self.no_iters_burn_in, out_c["im_warped"],
                             out_c["displacement"], out_c["log_det_J"],
                             "MCMC", chain_no=c)
@@ -446,7 +459,7 @@ class Trainer:
                     np.asarray(last["ndv"]),
                 )
                 save_checkpoint(
-                    self.config.save_dirs["models"] / "mcmc_latest.npz", mcmc,
+                    self.save_dirs["models"] / "mcmc_latest.npz", mcmc,
                     {"phase_done": 1, "mcmc_steps": done, "config": self.config.name},
                 )
         except NonDiffeomorphicAbort as e:
@@ -458,7 +471,7 @@ class Trainer:
             if float(np.asarray(mcmc.welford.count).sum()) > 1:
                 mean, std = posterior_statistics(mcmc)
                 savers.save_displacement_mean_and_std_dev(
-                    self.config.save_dirs, self.spacing, np.asarray(mean),
+                    self.save_dirs, self.spacing, np.asarray(mean),
                     np.asarray(std), np.asarray(fixed["mask"]), "MCMC")
 
             # MCMC speed test (trainer.py:467-476)

@@ -110,3 +110,33 @@ def test_config_overrides(tmp_path):
         make_dirs=False,
     )
     assert config["trainer"]["no_iters_VI"] == 7
+
+
+def test_multi_pair_artifact_isolation(tmp_path):
+    """Two moving volumes -> two pairs; artifacts land in separate trees."""
+    from ir_sgmcmc_tpu.utils.nifti import write_nifti
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    (data / "masks").mkdir(parents=True)
+    (data / "segs").mkdir()
+    for i in range(3):
+        write_nifti(data / f"s{i}.nii.gz", rng.random((10, 10, 10)).astype(np.float32))
+        write_nifti(data / "masks" / f"s{i}.nii.gz", np.ones((10, 10, 10), np.uint8))
+        write_nifti(data / "segs" / f"s{i}.nii.gz",
+                    (rng.random((10, 10, 10)) > 0.5).astype(np.int16))
+
+    config = _demo_cfg(tmp_path / "runs", MCMC=False, no_iters_VI=2,
+                       log_period_VI=2, no_samples_VI_test=0)
+    config.cfg["data_loader"] = {
+        "type": "BiobankDataLoader",
+        "args": {"data_dir": str(data), "dims": [8, 8, 8],
+                 "sigma_v_init": 0.5, "u_v_init": 0.1},
+    }
+    # seg labels are binary here; restrict the metric universe
+    trainer = Trainer(config)
+    trainer.structures = {"fg": 1}
+    summaries = trainer.run()
+    assert len(summaries) == 2
+    assert (config.dir / "images/im_fixed.nii.gz").exists()
+    assert (config.dir / "pair_1/images/im_fixed.nii.gz").exists()
