@@ -303,3 +303,36 @@ def test_sample_q_v_statistics():
     samples = jax.vmap(lambda k: sample_q_v(k, q_v))(keys)
     var = np.asarray(samples).var()
     np.testing.assert_allclose(var, 0.25 + 0.25, rtol=0.1)
+
+
+def test_sgld_samples_gaussian_stationary_distribution():
+    """Preconditioned SGLD targets the right stationary distribution.
+
+    For U(v) = v²/(2 s²) the update
+        v' = v + sqrt(2 tau) sigma eps;  v_next = v' - tau sigma² U'(v')
+    is the OU discretisation v_next = (1-a)(v + sqrt(2 tau) sigma eps) with
+    a = tau sigma²/s², whose exact stationary variance is
+    2 s² (1-a)² / (2-a)  (-> s² as tau -> 0).  The reference composes this
+    update from an autograd Function + SGD (utils/functions.py:76-84); here
+    it is models.sampler.sgld_step.
+    """
+    import jax
+
+    from ir_sgmcmc_tpu.models.sampler import sgld_step
+
+    s2 = 2.0  # target variance
+    grad_fn = lambda v: v / s2
+
+    def chain_var(tau, sig, n=120_000, burn=5_000):
+        def body(carry, key):
+            v = sgld_step(key, carry, jnp.asarray(sig), tau, grad_fn)
+            return v, v
+
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        _, samples = jax.lax.scan(body, jnp.zeros(()), keys)
+        return float(np.asarray(samples[burn:]).var())
+
+    for tau, sig in [(0.05, 1.0), (0.05, 0.5)]:
+        a = tau * sig**2 / s2
+        expected = 2.0 * s2 * (1.0 - a) ** 2 / (2.0 - a)
+        np.testing.assert_allclose(chain_var(tau, sig), expected, rtol=0.08)
