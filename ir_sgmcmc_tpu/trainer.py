@@ -149,9 +149,17 @@ class Trainer:
         )
 
         resume_meta = {}
+        self._mcmc_resume = None
         if self.resume_path:
-            state, resume_meta = load_checkpoint(self.resume_path, state)
-            self.logger.info("resumed from %s at %s", self.resume_path, resume_meta)
+            try:
+                state, resume_meta = load_checkpoint(self.resume_path, state)
+                self.logger.info("resumed from %s at %s", self.resume_path, resume_meta)
+            except ValueError:
+                # not a VI-phase checkpoint — defer to the MCMC phase, which
+                # loads it into the chain-state template
+                self._mcmc_resume = self.resume_path
+                resume_meta = {"phase_done": 1}
+                state = gmm_warmup(self.bundle, self.opt_gmm, state, fixed, moving)
         else:
             # GMM warm-up: data-driven scale init + 25 detached Adam steps
             # (trainer.py:529-547)
@@ -391,9 +399,15 @@ class Trainer:
         )
 
         resume_meta = {}
-        if self.resume_path and not self.run_vi:
-            mcmc, resume_meta = load_checkpoint(self.resume_path, mcmc)
-            self.logger.info("resumed MCMC from %s at %s", self.resume_path, resume_meta)
+        mcmc_resume = getattr(self, "_mcmc_resume", None) or (
+            self.resume_path if not self.run_vi else None)
+        if mcmc_resume:
+            try:
+                mcmc, resume_meta = load_checkpoint(mcmc_resume, mcmc)
+                self.logger.info("resumed MCMC from %s at %s", mcmc_resume, resume_meta)
+            except ValueError:
+                self.logger.info("checkpoint %s is not an MCMC state; starting "
+                                 "the MCMC phase fresh", mcmc_resume)
 
         chunk = max(1, min(self.log_period_mcmc, total))
         chunk_fn = make_mcmc_chunk(bundle, self.opt_gmm, self.opt_reg, tau,

@@ -140,3 +140,22 @@ def test_multi_pair_artifact_isolation(tmp_path):
     assert len(summaries) == 2
     assert (config.dir / "images/im_fixed.nii.gz").exists()
     assert (config.dir / "pair_1/images/im_fixed.nii.gz").exists()
+
+
+def test_mcmc_checkpoint_resume(tmp_path):
+    """Resuming from an MCMC-phase checkpoint restores the chain state."""
+    config = _demo_cfg(tmp_path, VI=False, MCMC=True, MCMC_init="noise",
+                       no_iters_burn_in=2, no_samples_MCMC=6, log_period_MCMC=4,
+                       no_samples_VI_test=0)
+    Trainer(config).run()
+    ckpt = config.save_dirs["models"] / "mcmc_latest.npz"
+    assert ckpt.exists()
+
+    config2 = _demo_cfg(tmp_path / "resumed", VI=False, MCMC=True,
+                        MCMC_init="noise", no_iters_burn_in=2,
+                        no_samples_MCMC=6, log_period_MCMC=4,
+                        no_samples_VI_test=0)
+    summaries = Trainer(config2, resume=str(ckpt)).run()
+    # resumed at step 8 == burn_in + samples: the sampling loop is a no-op,
+    # only the final statistics and speed test run
+    assert summaries[0]["mcmc_samples_per_sec"] > 0
