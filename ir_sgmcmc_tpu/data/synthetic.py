@@ -20,7 +20,13 @@ def sphere(shape, centre, radius, value=1.0, soft=True):
 
 
 def sphere_pair(shape=(16, 16, 16), offset=(0.0, 0.0, 2.0), radius=None, seed=0):
-    """Fixed/moving dict pair: a soft sphere and its translated copy.
+    """Fixed/moving dict pair: a textured soft sphere and its translated copy.
+
+    The moving volume is the *same* textured volume rolled by ``offset``
+    (rounded to voxels) — a genuinely registrable pair: the texture gives
+    the LCC residual map real alignment signal, unlike independent noise
+    per volume, which local contrast normalisation turns into an
+    irreducible residual floor.
 
     Returns dicts with ``im`` (float), ``mask`` (bool, everything), ``seg``
     (int16 hard sphere label 1), matching the reference data layout
@@ -31,15 +37,22 @@ def sphere_pair(shape=(16, 16, 16), offset=(0.0, 0.0, 2.0), radius=None, seed=0)
     c = np.asarray(shape, np.float32) / 2.0
     rng = np.random.default_rng(seed)
 
-    def make(centre):
-        im = sphere(shape, centre, radius)
-        im = im + 0.02 * rng.standard_normal(shape).astype(np.float32)
-        seg = sphere(shape, centre, radius * 0.8, soft=False).astype(np.int16)
-        mask = np.ones(shape, dtype=bool)
-        return {"im": im, "mask": mask, "seg": seg}
+    im = sphere(shape, c, radius)
+    # smooth multiplicative texture so contrast-normalised residuals see it
+    texture = rng.standard_normal(shape).astype(np.float32)
+    for ax in range(3):
+        texture = (np.roll(texture, 1, ax) + texture + np.roll(texture, -1, ax)) / 3.0
+    im = im * (1.0 + 0.3 * texture) + 0.02 * rng.standard_normal(shape).astype(np.float32)
+    seg = sphere(shape, c, radius * 0.8, soft=False).astype(np.int16)
+    mask = np.ones(shape, dtype=bool)
+    fixed = {"im": im.astype(np.float32), "mask": mask, "seg": seg}
 
-    fixed = make(c)
-    moving = make(c + np.asarray(offset, np.float32))
+    shift = [int(round(o)) for o in np.asarray(offset, np.float32)]
+    moving = {
+        "im": np.roll(im, shift, axis=(0, 1, 2)).astype(np.float32),
+        "mask": mask,
+        "seg": np.roll(seg, shift, axis=(0, 1, 2)),
+    }
     return fixed, moving
 
 

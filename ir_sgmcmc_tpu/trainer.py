@@ -247,16 +247,25 @@ class Trainer:
         eval_fn = self._make_eval(fixed, moving)
         fixed_seg_np = np.asarray(fixed["seg"])
 
-        chunk = max(1, min(self.log_period_vi, self.no_iters_vi))
-        chunk_fn = make_vi_chunk(step_fn, chunk)
-        rem = (self.no_iters_vi - start) % chunk
-        rem_fn = make_vi_chunk(step_fn, rem) if rem else None
+        # device chunks capped like the MCMC phase (axon worker stability)
+        cap = int(self.t_cfg.get("max_device_chunk", 200))
+        chunk_fns = {}
 
+        def run_steps(state, n):
+            ms = None
+            while n > 0:
+                this = min(cap, n)
+                if this not in chunk_fns:
+                    chunk_fns[this] = make_vi_chunk(step_fn, this)
+                state, ms = chunk_fns[this](state)
+                n -= this
+            return state, ms
+
+        log_period = max(1, min(self.log_period_vi, self.no_iters_vi))
         done = start
         while done < self.no_iters_vi:
-            this = chunk if (self.no_iters_vi - done) >= chunk else rem
-            fn = chunk_fn if this == chunk else rem_fn
-            state, ms = fn(state)
+            this = min(log_period, self.no_iters_vi - done)
+            state, ms = run_steps(state, this)
             done += this
             last = _host(_last(ms))
 
@@ -409,24 +418,36 @@ class Trainer:
                 self.logger.info("checkpoint %s is not an MCMC state; starting "
                                  "the MCMC phase fresh", mcmc_resume)
 
-        chunk = max(1, min(self.log_period_mcmc, total))
-        chunk_fn = make_mcmc_chunk(bundle, self.opt_gmm, self.opt_reg, tau,
-                                   fixed, moving, chunk=chunk,
-                                   burn_in=self.no_iters_burn_in, thin=1)
+        # device-resident scan chunks are capped: chunks beyond ~200
+        # transitions at 128^3 fault the TPU worker under the axon tunnel
+        # (empirically bisected; chunk=200 is stable over 1000+ transitions)
+        cap = int(self.t_cfg.get("max_device_chunk", 200))
+        chunk_fns = {}
+
+        def run_steps(mcmc, n):
+            """Advance ``n`` transitions in capped device chunks."""
+            ms = None
+            while n > 0:
+                this = min(cap, n)
+                if this not in chunk_fns:
+                    chunk_fns[this] = make_mcmc_chunk(
+                        bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
+                        chunk=this, burn_in=self.no_iters_burn_in, thin=1)
+                mcmc, ms = chunk_fns[this](mcmc)
+                n -= this
+            return mcmc, ms
+
         eval_fn = jax.jit(jax.vmap(self._make_eval(fixed, moving)))
         fixed_seg_np = np.asarray(fixed["seg"])
 
+        log_period = max(1, min(self.log_period_mcmc, total))
         summary = {}
         done = int(np.asarray(mcmc.step))
         t0 = time.perf_counter()
         try:
             while done < total:
-                this = min(chunk, total - done)
-                if this != chunk:
-                    chunk_fn = make_mcmc_chunk(
-                        bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
-                        chunk=this, burn_in=self.no_iters_burn_in, thin=1)
-                mcmc, ms = chunk_fn(mcmc)
+                this = min(log_period, total - done)
+                mcmc, ms = run_steps(mcmc, this)
                 done += this
                 last = _host(_last(ms))  # per-chain (C,) leaves
 
