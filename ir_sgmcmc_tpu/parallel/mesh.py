@@ -54,3 +54,53 @@ def shard_chain_state(state, mesh: Mesh, no_chains: int):
 def replicate(tree, mesh: Mesh):
     rep_sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(jax.numpy.asarray(x), rep_sh), tree)
+
+
+def shard_state_spatial(state, mesh: Mesh, no_chains: int, field_depth: int):
+    """Chain x space placement of a chain-major state pytree.
+
+    Field leaves ``(C, ..., D, H, W)`` with ``D == field_depth`` shard over
+    ``('chain', ..., 'space', None, None)``; other chain-major leaves shard
+    over ``'chain'`` only; the rest replicate.  With these input shardings
+    the jitted SGLD transition partitions under XLA's SPMD partitioner —
+    the stencil convolutions, pads, and static slices of the bounded-blend
+    warp lower to local compute plus compiler-inserted halo exchanges over
+    ICI (the "annotate shardings, let XLA insert collectives" recipe; the
+    hand-written ppermute halo ops in ``halo.py`` remain as the explicit /
+    benchmarkable formulation).
+    """
+    n_space = mesh.shape["space"]
+    chain_only = NamedSharding(mesh, P("chain"))
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if (
+            x.ndim >= 4
+            and x.shape[0] == no_chains
+            and x.shape[-3] == field_depth
+            and field_depth % n_space == 0
+        ):
+            spec = P("chain", *([None] * (x.ndim - 4)), "space", None, None)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        if x.ndim > 0 and x.shape[0] == no_chains:
+            return jax.device_put(x, chain_only)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, state)
+
+
+def shard_images_spatial(tree, mesh: Mesh, field_depth: int):
+    """Place an image-pair dict: ``(..., D, H, W)`` volumes shard along D
+    over ``'space'`` (replicated over ``'chain'``); the rest replicate."""
+    n_space = mesh.shape["space"]
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 3 and x.shape[-3] == field_depth and field_depth % n_space == 0:
+            spec = P(*([None] * (x.ndim - 3)), "space", None, None)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)
