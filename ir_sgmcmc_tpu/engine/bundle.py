@@ -34,6 +34,15 @@ class ModelBundle:
     sobolev_s: Optional[int] = 3
     sobolev_lambda: float = 0.5
     uniform_noise_alpha: Optional[float] = 0.1
+    # 'pre' (default, fast): jitter the cascade-warped image — noise in the
+    # pre-transform sampling position; 'post': exact reference semantics
+    # (warp the moving image at T + noise, utils/util.py:44-53) via the
+    # gather-based grid_sample — one global gather per sample (slower on
+    # TPU).  Measured pointwise discrepancy between the schemes on
+    # voxel-scale-textured volumes is the same order as the noise's own
+    # effect (see tests/test_engine.py::test_pre_vs_post_transform_noise*),
+    # though both dither the sampling position with the same amplitude.
+    noise_scheme: str = "pre"
     virtual_decimation: bool = True
     _sobolev_kernel: Optional[jnp.ndarray] = field(default=None, repr=False)
 

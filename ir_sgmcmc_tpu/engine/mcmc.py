@@ -112,11 +112,14 @@ def init_chains(
     reg: dict,
     opt_gmm,
     opt_reg,
+    param_mode: str = "per_chain",
 ) -> MCMCState:
     """SGLD state init — reference trainer.py:586-611.
 
     ``mode``: ``'VI'`` (per-chain q(v) samples, sigma from the VI log-var),
     ``'identity'`` (zeros, sigma 1) or ``'noise'`` (standard normal, sigma 1).
+    ``param_mode``: ``'per_chain'`` replicates GMM/reg params per chain;
+    ``'shared'`` keeps one set (reference semantics, trainer.py:316-327).
     """
     shape = (no_chains, 3) + bundle.field_dims
     key, *chain_keys = jax.random.split(key, no_chains + 1)
@@ -134,12 +137,17 @@ def init_chains(
     else:
         raise ValueError(f"unknown MCMC init mode: {mode}")
 
-    # per-chain copies of the (VI-fitted) GMM/reg params and fresh optimizers
-    rep = lambda t: jnp.broadcast_to(t, (no_chains,) + t.shape)
-    gmm_c = jax.tree.map(rep, gmm)
-    reg_c = jax.tree.map(rep, reg)
-    opt_gmm_c = jax.vmap(opt_gmm.init)(gmm_c) if gmm_c else opt_gmm.init(gmm_c)
-    opt_reg_c = jax.vmap(opt_reg.init)(reg_c) if reg_c else jax.tree.map(rep, opt_reg.init(reg_c))
+    if param_mode == "shared":
+        gmm_c, reg_c = gmm, reg
+        opt_gmm_c = opt_gmm.init(gmm)
+        opt_reg_c = opt_reg.init(reg)
+    else:
+        # per-chain copies of the (VI-fitted) GMM/reg params + fresh optimizers
+        rep = lambda t: jnp.broadcast_to(t, (no_chains,) + t.shape)
+        gmm_c = jax.tree.map(rep, gmm)
+        reg_c = jax.tree.map(rep, reg)
+        opt_gmm_c = jax.vmap(opt_gmm.init)(gmm_c) if gmm_c else opt_gmm.init(gmm_c)
+        opt_reg_c = jax.vmap(opt_reg.init)(reg_c) if reg_c else jax.tree.map(rep, opt_reg.init(reg_c))
 
     chain_rng = jax.random.split(jax.random.fold_in(key, 7), no_chains)
 
@@ -198,6 +206,7 @@ def make_sgld_transition(
             "vd_alpha": alpha,
             "reg_energy": jnp.exp(log_y).reshape(()),
             "ndv": out["ndv"],
+            "sat": out["sat"],
             "displacement": out["displacement"],
             "transformation": out["transformation"],
             "warped": out["warped"],
@@ -239,8 +248,119 @@ def make_sgld_transition(
             "vd_alpha": aux["vd_alpha"],
             "reg_energy": aux["reg_energy"],
             "ndv": aux["ndv"],
+            "sat": aux["sat"],
             "gmm_scales": GMM.scales(aux["gmm"]),
             "gmm_proportions": GMM.proportions(aux["gmm"]),
+        }
+        return new_chain, metrics
+
+    return transition
+
+
+def make_sgld_transition_shared(
+    bundle: ModelBundle, opt_gmm, opt_reg, tau: float, fixed: dict, moving: dict
+):
+    """Reference-semantics transition over ALL chains: one SHARED GMM/reg
+    parameter set, with the GMM receiving ``no_chains`` *sequential* Adam
+    steps per transition (each chain's data term evaluated with the GMM
+    state after its own update — /root/reference/trainer/trainer.py:316-327)
+    and the regulariser one Adam step on the gradient summed over chains
+    (:344-354).  Hyperprior terms enter once per transition (:329-339).
+
+    This is the validation baseline for the parallel ``per_chain`` scheme
+    (the engine default): its cross-chain sequential dependence forces a
+    parameter sync per transition, so chains no longer shard freely.
+    """
+    reg_loss = bundle.reg_loss
+    learnable_reg = reg_loss.learnable and len(reg_loss.param_names) > 0
+
+    def potential(v_noised, reg_p, gmm0, opt_gmm0, keys):
+        mask = fixed["mask"]
+
+        def body(carry, xs):
+            gmm, opt_state, data_total = carry
+            v_c, key_c = xs
+            out = forward_sample(bundle, fixed, moving, v_c, key_c)
+            alpha = vd_alpha(bundle, gmm, out["residuals"], mask)
+            gmm, opt_state = gmm_adam_step(
+                bundle, opt_gmm, gmm, opt_state, out["residuals"], mask, alpha
+            )
+            data_c = bundle.gmm.masked_nll(gmm, out["residuals"], mask) * alpha
+            reg_c, log_y_c = reg_loss(reg_p, out["v"])
+            aux_c = {
+                "data_term": data_c,
+                "reg_term": jnp.sum(reg_c),
+                "vd_alpha": alpha,
+                "reg_energy": jnp.exp(log_y_c).reshape(()),
+                "log_y": log_y_c.reshape(()),
+                "ndv": out["ndv"],
+                "sat": out["sat"],
+                "displacement": out["displacement"],
+            }
+            return (gmm, opt_state, data_total + data_c), aux_c
+
+        (gmm, opt_gmm_state, data_term), aux = jax.lax.scan(
+            body, (gmm0, opt_gmm0, jnp.zeros((), jnp.float32)),
+            (v_noised, keys),
+        )
+        data_term = data_term - bundle.gmm_prior_terms(gmm)
+        reg_term = jnp.sum(aux["reg_term"])
+        if learnable_reg and isinstance(reg_loss, RegLossLogNormal):
+            reg_term -= jnp.sum(bundle.reg_loc_prior(aux["log_y"]))
+            reg_term -= jnp.sum(bundle.reg_scale_prior(reg_p["log_scale"]))
+        elif learnable_reg and isinstance(reg_loss, RegLossL2):
+            reg_term -= jnp.sum(bundle.reg_w_reg_prior(reg_p["log_w_reg"]))
+        loss = data_term + reg_term
+        return loss, {**aux, "gmm": gmm, "opt_gmm": opt_gmm_state}
+
+    def transition(chain, collect_weight):
+        """``chain``: full chain-major state dict with SHARED gmm/reg."""
+        keys = jax.vmap(lambda k: jax.random.split(k, 3))(chain["key"])
+        new_keys, k_noise, k_unif = keys[:, 0], keys[:, 1], keys[:, 2]
+        v_noised = chain["v"] + jax.vmap(langevin_noise, in_axes=(0, 0, None))(
+            k_noise, chain["sigma"], tau
+        )
+
+        grad_fn = jax.grad(potential, argnums=(0, 1), has_aux=True)
+        (g_v, g_reg), aux = grad_fn(
+            v_noised, chain["reg"], chain["gmm"], chain["opt_gmm"], k_unif
+        )
+
+        v_next = v_noised - tau * chain["sigma"] ** 2 * g_v
+
+        reg_p, opt_reg_state = chain["reg"], chain["opt_reg"]
+        if learnable_reg:
+            upd, opt_reg_state = opt_reg.update(g_reg, chain["opt_reg"], chain["reg"])
+            reg_p = optax.apply_updates(chain["reg"], upd)
+
+        welford = jax.vmap(welford_update, in_axes=(0, 0, None))(
+            chain["welford"], aux["displacement"], collect_weight
+        )
+
+        new_chain = {
+            "v": v_next,
+            "sigma": chain["sigma"],
+            "gmm": aux["gmm"],
+            "reg": reg_p,
+            "opt_gmm": aux["opt_gmm"],
+            "opt_reg": opt_reg_state,
+            "welford": welford,
+            "key": new_keys,
+        }
+        metrics = {
+            "data_term": aux["data_term"],
+            "reg_term": aux["reg_term"],
+            "vd_alpha": aux["vd_alpha"],
+            "reg_energy": aux["reg_energy"],
+            "ndv": aux["ndv"],
+            "sat": aux["sat"],
+            "gmm_scales": jnp.broadcast_to(
+                GMM.scales(aux["gmm"]), (v_next.shape[0],) + GMM.scales(aux["gmm"]).shape
+            ),
+            "gmm_proportions": jnp.broadcast_to(
+                GMM.proportions(aux["gmm"]),
+                (v_next.shape[0],) + GMM.proportions(aux["gmm"]).shape,
+            ),
         }
         return new_chain, metrics
 
@@ -257,15 +377,25 @@ def make_mcmc_chunk(
     chunk: int,
     burn_in: int,
     thin: int,
+    param_mode: str = "per_chain",
 ):
     """Scan ``chunk`` SGLD transitions over all chains on device.
 
     Thinned displacement samples feed the per-chain Welford accumulators
     once past ``burn_in`` (every ``thin`` steps), replacing the reference's
     sample tensor (trainer.py:365-366, 429).
+
+    ``param_mode``: ``'per_chain'`` (engine default — independent GMM/reg
+    per chain, embarrassingly parallel) or ``'shared'`` (exact reference
+    semantics — one parameter set, sequential per-chain GMM updates).
     """
-    transition = make_sgld_transition(bundle, opt_gmm, opt_reg, tau, fixed, moving)
-    vtransition = jax.vmap(transition, in_axes=(0, None))
+    if param_mode == "shared":
+        vtransition = make_sgld_transition_shared(
+            bundle, opt_gmm, opt_reg, tau, fixed, moving
+        )
+    else:
+        transition = make_sgld_transition(bundle, opt_gmm, opt_reg, tau, fixed, moving)
+        vtransition = jax.vmap(transition, in_axes=(0, None))
 
     def body(state: MCMCState, _):
         step = state.step + 1

@@ -70,13 +70,32 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
     """
     v = bundle.smooth(v_unsmoothed)
     integrate = getattr(bundle.transformation, "integrate", None)
-    if integrate is not None and not getattr(bundle.transformation, "use_gather", False):
+    post_noise = (
+        bundle.uniform_noise_alpha is not None
+        and getattr(bundle, "noise_scheme", "pre") == "post"
+    )
+    if (integrate is not None
+            and not getattr(bundle.transformation, "use_gather", False)
+            and not post_noise):
         transformation, displacement, warped = integrate(v, im=moving["im"])
         if bundle.uniform_noise_alpha is not None:
             alpha = bundle.uniform_noise_alpha
             noise = jax.random.uniform(
                 key, (3,) + warped.shape[-3:], warped.dtype, -alpha, alpha)
-            warped = warp_bounded(warped, noise, 1)
+            # blend radius covers the configured magnitude (alpha > 1 must
+            # not silently truncate the noise to ±1 voxel)
+            warped = warp_bounded(warped, noise, max(1, -int(-float(alpha) // 1)))
+    elif integrate is not None and post_noise and not getattr(
+            bundle.transformation, "use_gather", False):
+        # exact reference noise semantics on the bounded path: integrate the
+        # displacement cascade without the image (cheap — all small radii),
+        # then ONE gather-based warp at T + noise (utils/util.py:44-53)
+        transformation, displacement, _ = integrate(v, im=None)
+        alpha = bundle.uniform_noise_alpha
+        noise = jax.random.uniform(
+            key, transformation.shape, transformation.dtype, -alpha, alpha)
+        t = transformation + voxel_to_normalised(noise)
+        warped = grid_sample(moving["im"], t, mode="linear")
     else:
         transformation, displacement = bundle.transformation(v)
         t = transformation
@@ -88,6 +107,17 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
         warped = grid_sample(moving["im"], t, mode="linear")
     ndv = count_folds(jax.lax.stop_gradient(transformation))
     residuals = bundle.gmm.residual_map(fixed["im"], warped)
+    # displacement-saturation detector (bounded-warp hot path only): voxels
+    # whose displacement reaches the ``max_disp`` blend bound were silently
+    # clamped inside ``warp_bounded`` — the posterior is wrong there.  The
+    # count is surfaced like ``ndv`` so the trainer can warn/abort with
+    # guidance to raise ``max_disp`` or fall back to ``use_gather``.
+    max_disp = getattr(bundle.transformation, "max_disp", None)
+    if max_disp is not None and not getattr(bundle.transformation, "use_gather", False):
+        d = jax.lax.stop_gradient(displacement)
+        sat = jnp.sum(jnp.any(jnp.abs(d) >= float(max_disp), axis=0))
+    else:
+        sat = jnp.zeros((), jnp.int32)
     return {
         "v": v,
         "transformation": transformation,
@@ -95,6 +125,7 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
         "warped": warped,
         "residuals": residuals,
         "ndv": ndv,
+        "sat": sat,
     }
 
 
@@ -170,6 +201,7 @@ def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, mo
             "vd_alpha": alpha,
             "reg_energy": jnp.exp(t1["log_y"]).reshape(()),
             "ndv": out["ndv"],
+            "sat": out["sat"],
         }
         return loss, (gmm, opt_gmm_state, metrics)
 

@@ -249,3 +249,146 @@ def test_mcmc_reduces_data_term_from_identity():
     assert np.isfinite(d).all()
     assert d[-5:].mean() < d[:5].mean()
     assert np.asarray(metrics["ndv"]).max() == 0  # stays diffeomorphic
+
+
+def test_forward_sample_saturation_counter():
+    """The hot path counts voxels whose displacement reaches ``max_disp``
+    (silently clamped by the bounded warp); small fields report zero."""
+    from dataclasses import replace
+
+    from ir_sgmcmc_tpu.engine.vi import forward_sample
+
+    bundle_small = _make_bundle()  # max_disp=8
+    bundle_tight = replace(bundle_small, transformation=SVF3D(DIMS, max_disp=2))
+    fixed, moving = _data()
+    key = jax.random.PRNGKey(0)
+
+    v_small = jnp.full((3,) + DIMS, 0.2, jnp.float32)
+    assert int(forward_sample(bundle_small, fixed, moving, v_small, key)["sat"]) == 0
+
+    # 6-voxel translation >> max_disp=2: most voxels saturate
+    v_big = jnp.full((3,) + DIMS, 6.0, jnp.float32)
+    sat = int(forward_sample(bundle_tight, fixed, moving, v_big, key)["sat"])
+    assert sat > 0.5 * np.prod(DIMS)
+
+    # the gather path is unbounded -> never reports saturation
+    bundle_gather = replace(
+        bundle_small, transformation=SVF3D(DIMS, max_disp=2, use_gather=True))
+    assert int(forward_sample(bundle_gather, fixed, moving, v_big, key)["sat"]) == 0
+
+
+def test_shared_vs_per_chain_param_schemes_agree():
+    """Validation of the round-1 design deviation: per-chain GMM/reg params
+    updated in parallel (this engine's default) vs the reference's ONE
+    shared set receiving sequential per-chain Adam steps
+    (/root/reference/trainer/trainer.py:316-327).  Same init, same SGLD
+    noise streams; the pooled posterior displacement statistics must agree
+    closely — the schemes differ only in the GMM parameter dynamics."""
+    bundle = _make_bundle(vd=True)
+    fixed, moving = _data()
+    opt_gmm = adam_decay(0.2, 0.001)
+    opt_reg = adam_decay(0.01, 0.001)
+
+    results = {}
+    for mode in ("per_chain", "shared"):
+        state = init_chains(
+            bundle, jax.random.PRNGKey(5), no_chains=2, mode="identity",
+            q_v=None, gmm=bundle.gmm.init_params(),
+            reg=bundle.reg_loss.init_params(),
+            opt_gmm=opt_gmm, opt_reg=opt_reg, param_mode=mode)
+        chunk = make_mcmc_chunk(
+            bundle, opt_gmm, opt_reg, tau=5e-4, fixed=fixed, moving=moving,
+            chunk=40, burn_in=10, thin=1, param_mode=mode)
+        state, metrics = chunk(state)
+        mean, std = posterior_statistics(state)
+        results[mode] = (np.asarray(mean), np.asarray(std),
+                         np.asarray(metrics["data_term"]))
+
+    m_pc, s_pc, d_pc = results["per_chain"]
+    m_sh, s_sh, d_sh = results["shared"]
+    assert np.isfinite(d_sh).all() and np.isfinite(d_pc).all()
+    # the data terms track each other through the whole run
+    np.testing.assert_allclose(d_pc[-5:].mean(), d_sh[-5:].mean(), rtol=0.05)
+    # pooled posterior mean/std maps agree to a small fraction of the
+    # displacement scale (~the SGLD noise floor)
+    scale = max(float(np.abs(m_pc).max()), 1e-3)
+    assert float(np.abs(m_pc - m_sh).max()) < 0.1 * scale + 0.02
+    assert float(np.abs(s_pc - s_sh).max()) < 0.1 * float(s_pc.max()) + 0.02
+
+
+def test_pre_vs_post_transform_noise_discrepancy():
+    """Validation of the round-1 design deviation (VERDICT missing #2): the
+    hot path jitters the already-warped image (noise in the PRE-transform
+    sampling position) where the reference perturbs the transformation
+    (POST-transform, /root/reference/utils/util.py:44-53).
+
+    Measured (round 2, 24^3 textured sphere, |disp| <= ~2.5 voxels,
+    alpha=0.5): the schemes coincide EXACTLY at T = identity, but on a
+    realistic field the pointwise noise-induced discrepancy is the same
+    order as the noise's own effect (ratio ~0.8) — voxel-scale texture
+    decorrelates the two sampling-position dithers entirely.  Both schemes
+    dither with the same amplitude (the statistical role of the noise), but
+    pointwise reference parity needs the opt-in ``noise_scheme='post'``
+    (exercised in test_post_noise_scheme_matches_reference_semantics)."""
+    from ir_sgmcmc_tpu.ops.grids import identity_grid, voxel_to_normalised
+    from ir_sgmcmc_tpu.ops.resample import grid_sample, warp_bounded
+
+    dims = (24, 24, 24)
+    fixed, moving = _data(dims, offset=(0, 0, 2))
+    im = jnp.asarray(moving["im"])
+    alpha = 0.5
+    noise = jax.random.uniform(
+        jax.random.PRNGKey(1), (3,) + dims, jnp.float32, -alpha, alpha)
+
+    # T = identity: the two schemes are the same operation
+    T_id = identity_grid(dims)
+    post_id = grid_sample(im, T_id + voxel_to_normalised(noise))
+    pre_id = warp_bounded(im, noise, 1)
+    np.testing.assert_allclose(np.asarray(post_id), np.asarray(pre_id), atol=1e-5)
+
+    # realistic field: record the discrepancy against each scheme's own
+    # no-noise baseline; it is bounded by (is the same order as) the
+    # noise's own effect, not orders larger
+    bundle = _make_bundle(dims)
+    v = bundle.smooth(2.5 * jax.random.normal(jax.random.PRNGKey(0), (3,) + dims))
+    svf = SVF3D(dims)
+    T, disp, g = svf.integrate(v, im=im)
+
+    post0 = grid_sample(im, T)
+    post = grid_sample(im, T + voxel_to_normalised(noise))
+    pre = warp_bounded(g, noise, 1)
+
+    effect = np.abs(np.asarray(post) - np.asarray(post0))
+    dnoise = np.abs(np.asarray(post - post0) - np.asarray(pre - g))
+    ratio = dnoise.mean() / max(effect.mean(), 1e-8)
+    assert ratio < 1.5, f"noise-scheme discrepancy ratio {ratio:.3f}"
+    # the noise amplitude delivered by both schemes matches
+    pre_effect = np.abs(np.asarray(pre) - np.asarray(g))
+    amp_ratio = pre_effect.mean() / max(effect.mean(), 1e-8)
+    assert 0.5 < amp_ratio < 2.0, f"noise amplitude ratio {amp_ratio:.3f}"
+
+
+def test_post_noise_scheme_matches_reference_semantics():
+    """``noise_scheme='post'`` reproduces the reference's transformation
+    noise EXACTLY on the bounded hot path: forward_sample's warped image
+    equals grid_sample(moving, T + U(-a,a)) with the same key."""
+    from dataclasses import replace
+
+    from ir_sgmcmc_tpu.engine.vi import forward_sample
+    from ir_sgmcmc_tpu.ops.grids import voxel_to_normalised
+    from ir_sgmcmc_tpu.ops.resample import grid_sample
+
+    bundle = replace(_make_bundle(noise=0.2), noise_scheme="post")
+    fixed, moving = _data()
+    key = jax.random.PRNGKey(3)
+    v = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3,) + DIMS), jnp.float32)
+
+    out = forward_sample(bundle, fixed, moving, v, key)
+
+    T, disp = bundle.transformation(bundle.smooth(v))
+    noise = jax.random.uniform(key, T.shape, T.dtype, -0.2, 0.2)
+    expected = grid_sample(
+        moving["im"], T + voxel_to_normalised(noise), mode="linear")
+    np.testing.assert_allclose(np.asarray(out["warped"]),
+                               np.asarray(expected), atol=1e-5)
