@@ -174,6 +174,7 @@ class Config:
             sobolev_s=sob["s"] if sob.get("enabled") else None,
             sobolev_lambda=sob.get("lambda", 0.5),
             uniform_noise_alpha=noise["magnitude"] if noise.get("enabled") else None,
+            noise_scheme=noise.get("scheme", "pre"),
             virtual_decimation=bool(cfg.get("virtual_decimation", False)),
         )
 

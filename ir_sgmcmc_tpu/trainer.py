@@ -44,13 +44,24 @@ from .models.sampler import sample_q_v
 from .ops.grids import count_non_diffeomorphic, det_jacobian
 from .ops.resample import warp
 from .ops.stencil import gradient
-from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.checkpoint import load_checkpoint, peek_meta, save_checkpoint
 from .utils.metrics import MetricTracker, calc_metrics, dice
 from .utils import savers
 
 
-class NonDiffeomorphicAbort(RuntimeError):
+class TrainerAbort(RuntimeError):
+    """Base for runtime-guard aborts of a sampling phase."""
+
+
+class NonDiffeomorphicAbort(TrainerAbort):
     """Raised when a sampled transformation folds at > ``tol`` of voxels."""
+
+
+class DisplacementSaturationAbort(TrainerAbort):
+    """Raised when displacements saturate the bounded-warp ``max_disp`` at
+    > ``tol`` of voxels — the clamp silently corrupts the posterior there
+    (the reference's gather-based warp has no such bound,
+    /root/reference/utils/transformation.py:63-76)."""
 
 
 def _host(tree):
@@ -86,12 +97,18 @@ class Trainer:
         self.log_period_vi = int(self.t_cfg.get("log_period_VI", 128))
         self.log_period_mcmc = int(self.t_cfg.get("log_period_MCMC", 1000))
         self.mcmc_init = self.t_cfg.get("MCMC_init", "VI")
+        # 'per_chain' (default): independent GMM/reg params per chain,
+        # embarrassingly parallel; 'shared': exact reference semantics —
+        # one parameter set, no_chains sequential GMM Adam steps per
+        # transition (/root/reference/trainer/trainer.py:316-327)
+        self.mcmc_param_mode = self.t_cfg.get("MCMC_params", "per_chain")
         self.compute_asd = bool(self.t_cfg.get("ASD", True))
         self.ndv_tol = float(self.t_cfg.get("non_diffeomorphic_tolerance", 0.001))
+        self.sat_tol = float(self.t_cfg.get("saturation_tolerance", 0.001))
         self.speed_test_iters = int(self.t_cfg.get("speed_test_iters", 100))
 
         keys = ["data_term", "reg_term", "entropy_term", "total_loss", "vd_alpha",
-                "reg_energy", "ndv"]
+                "reg_energy", "ndv", "sat"]
         self.tracker = MetricTracker(*keys, writer=self.writer)
 
         # experiment hyperparameters as tracked text (reference
@@ -150,16 +167,29 @@ class Trainer:
 
         resume_meta = {}
         self._mcmc_resume = None
-        if self.resume_path:
-            try:
-                state, resume_meta = load_checkpoint(self.resume_path, state)
-                self.logger.info("resumed from %s at %s", self.resume_path, resume_meta)
-            except ValueError:
-                # not a VI-phase checkpoint — defer to the MCMC phase, which
-                # loads it into the chain-state template
-                self._mcmc_resume = self.resume_path
+        # resume applies to pair 0 only: a checkpoint holds one pair's state,
+        # and re-applying it to every pair would silently restart them all
+        # from the same point
+        resume_path = self.resume_path if pair_idx == 0 else None
+        if resume_path:
+            meta = peek_meta(resume_path)
+            phase = meta.get("phase")
+            if phase is None and "phase_done" in meta:  # round-1 checkpoints
+                phase = "MCMC" if int(meta["phase_done"]) >= 1 else "VI"
+            if phase == "VI":
+                state, resume_meta = load_checkpoint(resume_path, state)
+                self.logger.info("resumed from %s at %s", resume_path, resume_meta)
+            elif phase == "MCMC":
+                # defer to the MCMC phase, which loads it into the
+                # chain-state template
+                self._mcmc_resume = resume_path
                 resume_meta = {"phase_done": 1}
                 state = gmm_warmup(self.bundle, self.opt_gmm, state, fixed, moving)
+            else:
+                raise ValueError(
+                    f"{resume_path}: checkpoint metadata names neither the "
+                    f"VI nor the MCMC phase (meta={meta}); refusing to guess"
+                )
         else:
             # GMM warm-up: data-driven scale init + 25 detached Adam steps
             # (trainer.py:529-547)
@@ -240,6 +270,23 @@ class Trainer:
                 self.writer.add_scalar(f"ASD/{tag}/mean", float(asd[0][finite].mean()))
         return float(dsc.mean())
 
+    def _check_saturation(self, sat: int, step: int, phase: str) -> None:
+        """Displacement-saturation guard: warn on any clamped voxels, abort
+        above ``saturation_tolerance`` (same scale as the diffeo guard)."""
+        if sat <= 0:
+            return
+        no_voxels = float(np.prod(self.bundle.dims))
+        max_disp = getattr(self.bundle.transformation, "max_disp", None)
+        msg = (
+            f"{phase} step {step}: displacement saturates the bounded-warp "
+            f"limit (max_disp={max_disp}) at {sat} voxels "
+            f"({sat / no_voxels:.2%}) — results are clamped there; raise "
+            f"transformation_module.args.max_disp or set use_gather=true"
+        )
+        if sat > self.sat_tol * no_voxels:
+            raise DisplacementSaturationAbort(msg)
+        self.logger.warning(msg)
+
     # ------------------------------------------------------------ VI phase
     def _run_vi_phase(self, fixed, moving, state: VIState, start: int = 0) -> VIState:
         step_fn = make_vi_step(self.bundle, self.opt_q_v, self.opt_gmm,
@@ -271,8 +318,9 @@ class Trainer:
 
             self.writer.set_step(done)
             for k in ("data_term", "reg_term", "entropy_term", "total_loss",
-                      "vd_alpha", "reg_energy", "ndv"):
+                      "vd_alpha", "reg_energy", "ndv", "sat"):
                 self.tracker.update(k, float(np.asarray(last[k])))
+            self._check_saturation(int(np.asarray(last["sat"])), done, "VI")
             for i, (s, p) in enumerate(zip(np.atleast_1d(last["gmm_scales"]),
                                            np.atleast_1d(last["gmm_proportions"]))):
                 self.writer.add_scalar(f"GMM/scale_{i}", float(s))
@@ -307,7 +355,8 @@ class Trainer:
             )
             save_checkpoint(
                 self.save_dirs["models"] / "vi_latest.npz", state,
-                {"phase_done": 0, "vi_iters": done, "config": self.config.name},
+                {"phase": "VI", "phase_done": 0, "vi_iters": done,
+                 "config": self.config.name},
             )
         return state
 
@@ -375,10 +424,14 @@ class Trainer:
             return outs
 
         run_n = jax.jit(timed, static_argnums=0)
-        jax.block_until_ready(run_n(2))  # compile
-        t0 = time.perf_counter()
+        # warm at the REAL length: the scan length is static, so a
+        # different n would retrace and the timed call would include a full
+        # recompile (underreporting samples/sec by orders of magnitude)
         outs = run_n(self.speed_test_iters)
         _ = float(np.asarray(outs[0]).sum())  # host sync (axon-safe)
+        t0 = time.perf_counter()
+        outs = run_n(self.speed_test_iters)
+        _ = float(np.asarray(outs[0]).sum())
         dt = time.perf_counter() - t0
         sps = self.speed_test_iters / dt
         self.logger.info("VI sampling speed: %.2f samples/sec", sps)
@@ -405,18 +458,58 @@ class Trainer:
             reg=vi_state.reg,
             opt_gmm=self.opt_gmm,
             opt_reg=self.opt_reg,
+            param_mode=self.mcmc_param_mode,
         )
 
         resume_meta = {}
-        mcmc_resume = getattr(self, "_mcmc_resume", None) or (
-            self.resume_path if not self.run_vi else None)
+        mcmc_resume = getattr(self, "_mcmc_resume", None)
         if mcmc_resume:
-            try:
-                mcmc, resume_meta = load_checkpoint(mcmc_resume, mcmc)
-                self.logger.info("resumed MCMC from %s at %s", mcmc_resume, resume_meta)
-            except ValueError:
-                self.logger.info("checkpoint %s is not an MCMC state; starting "
-                                 "the MCMC phase fresh", mcmc_resume)
+            # phase dispatch already happened in _run_pair; a structural
+            # mismatch here is a user error (different dims / chain count),
+            # so the ValueError propagates instead of silently starting fresh
+            mcmc, resume_meta = load_checkpoint(mcmc_resume, mcmc)
+            self.logger.info("resumed MCMC from %s at %s", mcmc_resume, resume_meta)
+
+        # distribute over all attached devices (the reference's batch axis,
+        # trainer.py:361-362, made multi-chip).  Default: chains shard over
+        # a Mesh('chain') with the image pair replicated — zero cross-chain
+        # collectives in the hot loop.  With ``spatial_shards: s`` > 1 the
+        # mesh becomes ('chain', 'space') and fields also shard along D:
+        # XLA's SPMD partitioner inserts the halo exchanges for every
+        # stencil/warp in the training step (for volumes larger than one
+        # device's HBM).  Single-device trajectories are bit-identical
+        # either way (tests/test_parallel.py).
+        self._mcmc_mesh = None
+        n_dev = len(jax.devices())
+        spatial = int(self.t_cfg.get("spatial_shards", 1))
+        if (bool(self.t_cfg.get("distribute", True)) and n_dev > 1
+                and self.mcmc_param_mode == "per_chain"):
+            from .parallel import (
+                make_mesh,
+                shard_chain_state,
+                shard_images_spatial,
+                shard_state_spatial,
+            )
+
+            depth = int(self.bundle.dims[0])
+            dense_fields = tuple(self.bundle.field_dims) == tuple(self.bundle.dims)
+            if (spatial > 1 and n_dev % spatial == 0 and dense_fields
+                    and depth % spatial == 0
+                    and self.no_chains % (n_dev // spatial) == 0):
+                self._mcmc_mesh = make_mesh((n_dev // spatial, spatial),
+                                            axes=("chain", "space"))
+                mcmc = shard_state_spatial(mcmc, self._mcmc_mesh,
+                                           self.no_chains, depth)
+                fixed = shard_images_spatial(fixed, self._mcmc_mesh, depth)
+                moving = shard_images_spatial(moving, self._mcmc_mesh, depth)
+                self.logger.info(
+                    "distributing %d chains x %d spatial shards over %d devices",
+                    self.no_chains, spatial, n_dev)
+            elif self.no_chains % n_dev == 0:
+                self._mcmc_mesh = make_mesh(n_dev, axes=("chain",))
+                mcmc = shard_chain_state(mcmc, self._mcmc_mesh, self.no_chains)
+                self.logger.info("distributing %d chains over %d devices",
+                                 self.no_chains, n_dev)
 
         # device-resident scan chunks are capped: chunks beyond ~200
         # transitions at 128^3 fault the TPU worker under the axon tunnel
@@ -432,7 +525,8 @@ class Trainer:
                 if this not in chunk_fns:
                     chunk_fns[this] = make_mcmc_chunk(
                         bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
-                        chunk=this, burn_in=self.no_iters_burn_in, thin=1)
+                        chunk=this, burn_in=self.no_iters_burn_in, thin=1,
+                        param_mode=self.mcmc_param_mode)
                 mcmc, ms = chunk_fns[this](mcmc)
                 n -= this
             return mcmc, ms
@@ -452,10 +546,13 @@ class Trainer:
                 last = _host(_last(ms))  # per-chain (C,) leaves
 
                 self.writer.set_step(done)
-                for k in ("data_term", "reg_term", "vd_alpha", "reg_energy", "ndv"):
+                for k in ("data_term", "reg_term", "vd_alpha", "reg_energy",
+                          "ndv", "sat"):
                     for c in range(self.no_chains):
                         self.writer.add_scalar(f"MCMC/{k}/chain_{c}",
                                                float(np.asarray(last[k])[c]))
+                self._check_saturation(
+                    int(np.asarray(last["sat"]).max()), done, "MCMC")
 
                 # diffeomorphism guard — abort as the reference does
                 # (trainer.py:441-445) when any chain folds at > tol voxels
@@ -495,24 +592,32 @@ class Trainer:
                 )
                 save_checkpoint(
                     self.save_dirs["models"] / "mcmc_latest.npz", mcmc,
-                    {"phase_done": 1, "mcmc_steps": done, "config": self.config.name},
+                    {"phase": "MCMC", "phase_done": 1, "mcmc_steps": done,
+                     "config": self.config.name},
                 )
-        except NonDiffeomorphicAbort as e:
+        except TrainerAbort as e:
             self.logger.error("MCMC aborted: %s", e)
             summary["mcmc_aborted"] = str(e)
         finally:
+            # timing + posterior statistics are valid whatever happened so
+            # far (trainer.py:455-465); everything that *advances the
+            # chains* (speed test) or reports quality for the final state
+            # is gated on clean completion below — continuing to sample
+            # from a state that just violated the fold guard would mask the
+            # failure with extra work
             summary["mcmc_time_s"] = time.perf_counter() - t0
-            # posterior statistics over all chains (trainer.py:455-465)
             if float(np.asarray(mcmc.welford.count).sum()) > 1:
                 mean, std = posterior_statistics(mcmc)
                 savers.save_displacement_mean_and_std_dev(
                     self.save_dirs, self.spacing, np.asarray(mean),
                     np.asarray(std), np.asarray(fixed["mask"]), "MCMC")
 
+        if "mcmc_aborted" not in summary:
             # MCMC speed test (trainer.py:467-476)
             speed_fn = make_mcmc_chunk(
                 bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
-                chunk=self.speed_test_iters, burn_in=0, thin=1)
+                chunk=self.speed_test_iters, burn_in=0, thin=1,
+                param_mode=self.mcmc_param_mode)
             mcmc, _ = speed_fn(mcmc)  # compile + warm
             _ = float(np.asarray(mcmc.v).mean())
             t1 = time.perf_counter()

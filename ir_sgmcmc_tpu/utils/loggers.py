@@ -85,10 +85,23 @@ class ScalarWriter:
     def add_figure(self, tag, figure):
         if self._tb is not None:
             self._tb.add_figure(tag, figure, self.step)
+        else:
+            self._warn_figures_dropped()
 
     def add_histogram(self, tag, values):
         if self._tb is not None:
             self._tb.add_histogram(tag, values, self.step)
+        else:
+            self._warn_figures_dropped()
+
+    def _warn_figures_dropped(self):
+        # one-time notice: the JSONL fallback records scalars/text only
+        if not getattr(self, "_figures_warned", False):
+            self._figures_warned = True
+            logging.getLogger("ir_sgmcmc_tpu").warning(
+                "tensorboard is not available: figures/histograms are being "
+                "discarded (scalars still go to events.jsonl)"
+            )
 
     def add_text(self, tag, text):
         if self._tb is not None:
