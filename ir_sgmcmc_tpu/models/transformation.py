@@ -174,11 +174,17 @@ class SVF2D:
 
 
 class BSplineFFD3D:
-    """Dense velocity from cubic B-spline control points (no integration).
+    """Cubic B-spline FFD: dense field from control points (no integration).
 
-    Reference: /root/reference/utils/transformation.py:126-153.  The forward
-    returns only the dense field (in the reference this model is used as a
-    parameterisation layer, composed with SVF integration by SVFFD).
+    Reference: /root/reference/utils/transformation.py:126-153.  There the
+    forward returns only the dense field, which makes the registry-allowed
+    standalone configuration unusable by the reference's own trainer (it
+    unpacks ``(transformation, displacement)``).  Here the standalone model
+    is a first-class *displacement* parameterisation: ``__call__`` treats
+    the spread field as a voxel-unit displacement and returns
+    ``(transformation, displacement)`` like every other transformation
+    model; :meth:`dense_velocity` exposes the raw field for SVFFD
+    composition (where it is a velocity to be integrated).
     """
 
     def __init__(self, dims, cps):
@@ -186,12 +192,15 @@ class BSplineFFD3D:
         self.cps = tuple(int(c) for c in cps)
         self.control_dims = control_grid_size(self.dims, self.cps)
         self._ffd = CubicBSplineFFD3D(self.dims, self.cps)
+        self.id_grid = identity_grid(self.dims)
 
     def dense_velocity(self, cp: jnp.ndarray) -> jnp.ndarray:
         return self._ffd(cp)
 
-    def __call__(self, cp: jnp.ndarray) -> jnp.ndarray:
-        return self._ffd(cp)
+    def __call__(self, cp: jnp.ndarray):
+        disp = self._ffd(cp)
+        transformation = self.id_grid + voxel_to_normalised(disp)
+        return transformation, disp
 
 
 class SVFFD3D:
@@ -210,10 +219,10 @@ class SVFFD3D:
         self.control_dims = self.ffd.control_dims
 
     def __call__(self, cp: jnp.ndarray):
-        return self.svf(self.ffd(cp))
+        return self.svf(self.ffd.dense_velocity(cp))
 
     def integrate(self, cp: jnp.ndarray, im: jnp.ndarray | None = None):
-        return self.svf.integrate(self.ffd(cp), im)
+        return self.svf.integrate(self.ffd.dense_velocity(cp), im)
 
 
 def make_transformation(kind: str, dims, cps=None, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False):

@@ -55,7 +55,7 @@ def test_bspline_ffd_matches_torch_conv_transpose():
     rng = np.random.default_rng(1)
     cp = rng.standard_normal((3,) + cdims).astype(np.float32)
 
-    ours = np.asarray(ffd(jnp.asarray(cp)))
+    ours = np.asarray(ffd.dense_velocity(jnp.asarray(cp)))
 
     # torch oracle: transposed conv along each dim then crop
     from ir_sgmcmc_tpu.ops import bspline_kernel_1d
@@ -88,7 +88,7 @@ def test_bspline_partition_of_unity():
     cps = (4, 4, 4)
     ffd = BSplineFFD3D(dims, cps)
     cp = jnp.ones((3,) + ffd.control_dims)
-    dense = np.asarray(ffd(cp))
+    dense = np.asarray(ffd.dense_velocity(cp))
     np.testing.assert_allclose(dense[:, 2:-2, 2:-2, 2:-2], 1.0, atol=1e-4)
 
 
@@ -164,3 +164,26 @@ def test_fourier_diff_op_reg_loss():
     # constant fields carry zero derivative energy
     _, log_y0 = reg(p, jnp.ones_like(v))
     assert float(jnp.exp(log_y0)) < 1e-4
+
+
+def test_bspline_ffd_standalone_transformation():
+    """Standalone Cubic_B_spline_FFD_3D is a usable transformation model:
+    it returns (transformation, displacement) like the SVF family (the
+    reference registry allows the configuration but its trainer cannot
+    unpack the bare field — utils/transformation.py:126-153)."""
+    from ir_sgmcmc_tpu.models.transformation import make_transformation
+
+    dims = (12, 12, 12)
+    mod = make_transformation("Cubic_B_spline_FFD_3D", dims, cps=(4, 4, 4))
+    cp = jnp.zeros((3,) + mod.control_dims)
+    T, disp = mod(cp)
+    assert T.shape == (3,) + dims and disp.shape == (3,) + dims
+    # zero control points -> identity transformation, zero displacement
+    from ir_sgmcmc_tpu.ops.grids import identity_grid
+
+    np.testing.assert_allclose(np.asarray(T), np.asarray(identity_grid(dims)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(disp), 0.0, atol=1e-6)
+
+    # uniform unit control points -> ~1-voxel displacement in the interior
+    T1, disp1 = mod(jnp.ones((3,) + mod.control_dims))
+    np.testing.assert_allclose(np.asarray(disp1)[:, 3:-3, 3:-3, 3:-3], 1.0, atol=1e-3)
