@@ -1,7 +1,7 @@
 """Benchmark: SG-MCMC sampling throughput at 128^3 (experiment-1 scale).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N, ...}
 
 * value        — chains x transitions / sec of the full SGLD transition on
                  the attached accelerator (TPU under axon), 2 chains, 128^3,
@@ -10,13 +10,21 @@ Prints ONE JSON line:
                  experiment-1 configuration and its headline runtime metric
                  (trainer/trainer.py:467-476 "MCMC sampling speed").
 * vs_baseline  — speedup over the torch-CPU transition measured on this
-                 machine (scripts/torch_baseline.py), cached in
-                 .bench_baseline.json (the reference publishes no numbers —
-                 BASELINE.md).
+                 machine (scripts/torch_baseline.py, >=5 timed transitions
+                 with spread), cached in .bench_baseline.json — refresh
+                 with ``--refresh-baseline`` (the reference publishes no
+                 numbers — BASELINE.md).
+* spread_rel   — (max-min)/mean across the repeated timed TPU chunks;
+                 baseline_* fields carry the torch side's statistics.
+
+``--trace DIR`` additionally captures a ``jax.profiler`` trace of one timed
+chunk (per-op timings, viewable in TensorBoard/Perfetto or via
+scripts/trace_summary.py).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import subprocess
@@ -26,32 +34,36 @@ from pathlib import Path
 
 DIMS = (128, 128, 128)
 CHAINS = 2
-WARMUP_STEPS = 2
 TIMED_STEPS = 20
+TIMED_REPEATS = 3
 
 REPO = Path(__file__).resolve().parent
 BASELINE_CACHE = REPO / ".bench_baseline.json"
 
 
-def measure_torch_baseline() -> float:
-    if BASELINE_CACHE.exists():
-        return json.loads(BASELINE_CACHE.read_text())["samples_per_sec"]
+def measure_torch_baseline(refresh: bool = False) -> dict:
+    if BASELINE_CACHE.exists() and not refresh:
+        cached = json.loads(BASELINE_CACHE.read_text())
+        if "samples_per_sec" in cached:
+            return cached
     # run in a subprocess with jax plugins disabled so torch-CPU timing is clean
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     out = subprocess.run(
         [sys.executable, "-c",
-         "from scripts.torch_baseline import run_baseline; print(run_baseline())"],
+         "import json; from scripts.torch_baseline import run_baseline; "
+         "print(json.dumps(run_baseline()))"],
         cwd=str(REPO), env=env, capture_output=True, text=True, timeout=3600,
     )
     if out.returncode != 0:
         print(out.stderr[-2000:], file=sys.stderr)
         raise RuntimeError("torch baseline failed")
-    sps = float(out.stdout.strip().splitlines()[-1])
-    BASELINE_CACHE.write_text(json.dumps({"samples_per_sec": sps, "dims": DIMS}))
-    return sps
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    stats["dims"] = list(DIMS)
+    BASELINE_CACHE.write_text(json.dumps(stats))
+    return stats
 
 
-def measure_tpu() -> float:
+def measure_tpu(trace_dir: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -97,34 +109,55 @@ def measure_tpu() -> float:
         opt_gmm=opt_gmm, opt_reg=opt_reg,
     )
 
-    warm = make_mcmc_chunk(bundle, opt_gmm, opt_reg, 1e-5, fixed, moving,
-                           chunk=WARMUP_STEPS, burn_in=0, thin=1)
     timed = make_mcmc_chunk(bundle, opt_gmm, opt_reg, 1e-5, fixed, moving,
                             chunk=TIMED_STEPS, burn_in=0, thin=1)
 
     # block_until_ready does not actually block under the axon tunnel;
-    # force host syncs with float(·)
-    state, _ = warm(state)
-    _ = float(jnp.sum(state.v))
-    # compile the timed chunk before the clock starts
+    # force host syncs with float(·).  Warm at the REAL chunk length so the
+    # clock never includes a retrace/compile.
     state, m = timed(state)
     _ = float(jnp.sum(state.v))
 
-    t0 = time.perf_counter()
-    state, m = timed(state)
-    _ = float(jnp.sum(state.v))
-    dt = time.perf_counter() - t0
-    return CHAINS * TIMED_STEPS / dt
+    times = []
+    for _ in range(TIMED_REPEATS):
+        t0 = time.perf_counter()
+        state, m = timed(state)
+        _ = float(jnp.sum(state.v))
+        times.append(time.perf_counter() - t0)
+
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            state, m = timed(state)
+            _ = float(jnp.sum(state.v))
+
+    mean = sum(times) / len(times)
+    return {
+        "samples_per_sec": CHAINS * TIMED_STEPS / mean,
+        "per_chunk_s": [round(t, 3) for t in times],
+        "spread_rel": (max(times) - min(times)) / mean,
+    }
 
 
-def main():
-    baseline = measure_torch_baseline()
-    value = measure_tpu()
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="ir-sgmcmc-tpu benchmark")
+    parser.add_argument("--refresh-baseline", action="store_true",
+                        help="re-measure the torch-CPU anchor (ignore cache)")
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of one timed chunk")
+    args = parser.parse_args(argv)
+
+    baseline = measure_torch_baseline(refresh=args.refresh_baseline)
+    tpu = measure_tpu(trace_dir=args.trace)
     print(json.dumps({
         "metric": "sgmcmc_samples_per_sec_128cubed_2chains",
-        "value": round(value, 3),
+        "value": round(tpu["samples_per_sec"], 3),
         "unit": "samples/sec",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(tpu["samples_per_sec"] / baseline["samples_per_sec"], 2),
+        "spread_rel": round(tpu["spread_rel"], 4),
+        "timed_chunks_s": tpu["per_chunk_s"],
+        "baseline_samples_per_sec": round(baseline["samples_per_sec"], 5),
+        "baseline_timed_transitions": baseline.get("timed_transitions"),
+        "baseline_spread_rel": round(baseline.get("spread_rel", 0.0), 4),
     }))
 
 

@@ -1,0 +1,143 @@
+"""End-to-end registration-quality evaluation against a KNOWN deformation.
+
+Builds a synthetic pair whose fixed volume is the moving volume warped by a
+known random smooth diffeomorphism (``ir_sgmcmc_tpu.data.svf_pair``), runs
+the FULL two-phase pipeline through the Trainer (the same path as
+``run.py``), and reports the three quality numbers the reference's outputs
+are judged by (VERDICT round-1 next-step #3):
+
+* Dice of the warped segmentation (before/after),
+* displacement error vs. the ground-truth field (mean/p95, voxels, inside
+  the mask),
+* uncertainty calibration — Pearson correlation between the per-voxel
+  posterior std-dev and the actual displacement error (BASELINE.json
+  configs 4-5 name the per-voxel uncertainty maps as the deliverable).
+
+Usage (CPU smoke):
+    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/quality_eval.py \
+        --dims 32 --magnitude 3 --vi-iters 64 --burn-in 50 --samples 150
+TPU (128^3, the canonical scale):
+    python scripts/quality_eval.py --dims 128 --magnitude 6 \
+        --vi-iters 384 --burn-in 300 --samples 700
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+class _PairDataset:
+    """Minimal dataset wrapper around one in-memory pair."""
+
+    def __init__(self, fixed, moving, q_v0, structures):
+        self._item = (fixed, moving, q_v0)
+        self.im_spacing = (1.0, 1.0, 1.0)
+        self.structures = structures
+
+    def __len__(self):
+        return 1
+
+    def __getitem__(self, idx):
+        return self._item
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dims", type=int, default=32)
+    p.add_argument("--magnitude", type=float, default=3.0,
+                   help="peak GT displacement (voxels)")
+    p.add_argument("--vi-iters", type=int, default=64)
+    p.add_argument("--burn-in", type=int, default=50)
+    p.add_argument("--samples", type=int, default=150)
+    p.add_argument("--chains", type=int, default=2)
+    p.add_argument("--max-disp", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default=None)
+    args = p.parse_args(argv)
+
+    from ir_sgmcmc_tpu.config import Config
+    from ir_sgmcmc_tpu.data.synthetic import svf_pair
+    from ir_sgmcmc_tpu.trainer import Trainer
+    from ir_sgmcmc_tpu.utils.vtk_io import read_vtk_field
+
+    dims = (args.dims,) * 3
+    fixed, moving, disp_gt = svf_pair(dims, magnitude=args.magnitude,
+                                      seed=args.seed)
+
+    out_dir = args.out_dir or tempfile.mkdtemp(prefix="quality_eval_")
+    cfg = json.loads((Path(__file__).resolve().parent.parent
+                      / "configs/demo/config_synthetic.json").read_text())
+    cfg["data_loader"]["args"]["dims"] = list(dims)
+    cfg["transformation_module"]["args"] = {"max_disp": args.max_disp}
+    cfg["trainer"].update(
+        save_dir=out_dir,
+        VI=True, MCMC=True, MCMC_init="VI",
+        no_iters_VI=args.vi_iters,
+        log_period_VI=max(16, args.vi_iters // 4),
+        no_samples_VI_test=4,
+        no_chains=args.chains,
+        no_iters_burn_in=args.burn_in,
+        no_samples_MCMC=args.samples,
+        log_period_MCMC=max(25, (args.burn_in + args.samples) // 8),
+        speed_test_iters=10,
+        tensorboard=False,
+        seed=args.seed,
+    )
+    config = Config(cfg, run_id="quality")
+
+    la = cfg["data_loader"]["args"]
+    q_v0 = {
+        "mu": np.zeros((3,) + dims, np.float32),
+        "log_var": np.full((3,) + dims,
+                           2.0 * np.log(la["sigma_v_init"]), np.float32),
+        "u": np.full((3,) + dims, la["u_v_init"], np.float32),
+    }
+    ds = _PairDataset(fixed, moving, q_v0, {"sphere": 1})
+    trainer = Trainer(config, dataset=ds)
+    summary = trainer.run()[0]
+
+    mean = read_vtk_field(config.dir / "fields/MCMC_displacement_mean.vtk")
+    std = read_vtk_field(config.dir / "fields/MCMC_displacement_std_dev.vtk")
+
+    mask = fixed["mask"]
+    err = mean - disp_gt  # (3, D, H, W) voxel units
+    err_mag = np.sqrt((err**2).sum(axis=0))[mask]
+    gt_mag = np.sqrt((disp_gt**2).sum(axis=0))[mask]
+    std_mag = np.sqrt((std**2).sum(axis=0))[mask]
+
+    # calibration: does the posterior std-dev rank where the error is?
+    calib = float(np.corrcoef(std_mag, err_mag)[0, 1])
+    # per-channel pooled correlation
+    calib_ch = float(np.corrcoef(
+        np.abs(err)[:, mask].ravel(), std[:, mask].ravel())[0, 1])
+
+    report = {
+        "dims": args.dims,
+        "gt_peak_disp_vox": round(float(gt_mag.max()), 3),
+        "dsc_before": round(summary.get("dsc_before", float("nan")), 4),
+        "dsc_vi": round(summary.get("vi_test_mean_dsc", float("nan")), 4),
+        "dsc_mcmc": round(summary.get("mcmc_mean_dsc", float("nan")), 4),
+        "disp_err_mean_vox": round(float(err_mag.mean()), 4),
+        "disp_err_p95_vox": round(float(np.percentile(err_mag, 95)), 4),
+        "disp_err_rel": round(float(err_mag.mean() / max(gt_mag.mean(), 1e-6)), 4),
+        "uncertainty_calibration_corr": round(calib, 4),
+        "uncertainty_calibration_corr_per_channel": round(calib_ch, 4),
+        "mcmc_samples_per_sec": round(summary.get("mcmc_samples_per_sec",
+                                                  float("nan")), 3),
+        "aborted": summary.get("mcmc_aborted"),
+        "run_dir": str(config.dir),
+    }
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

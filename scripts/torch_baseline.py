@@ -114,7 +114,7 @@ def reg_energy(v):
     return sum((d**2).sum() for d in (dx, dy, dz))
 
 
-def run_baseline(dims=(128, 128, 128), chains=2, warmup=1, timed=2, sgld_steps=1):
+def run_baseline(dims=(128, 128, 128), chains=2, warmup=1, timed=5, sgld_steps=1):
     torch.manual_seed(0)
     torch.set_num_threads(torch.get_num_threads())
 
@@ -167,12 +167,23 @@ def run_baseline(dims=(128, 128, 128), chains=2, warmup=1, timed=2, sgld_steps=1
 
     for _ in range(warmup):
         v = transition(v)
-    t0 = time.perf_counter()
+    times = []
     for _ in range(timed):
+        t0 = time.perf_counter()
         v = transition(v)
-    dt = time.perf_counter() - t0
-    return chains * timed / dt
+        times.append(time.perf_counter() - t0)
+    total = sum(times)
+    mean = total / timed
+    return {
+        "samples_per_sec": chains * timed / total,
+        "timed_transitions": timed,
+        "per_transition_s": [round(t, 3) for t in times],
+        "spread_rel": (max(times) - min(times)) / mean,
+        "std_rel": (sum((t - mean) ** 2 for t in times) / timed) ** 0.5 / mean,
+    }
 
 
 if __name__ == "__main__":
-    print(run_baseline())
+    import json
+
+    print(json.dumps(run_baseline()))
