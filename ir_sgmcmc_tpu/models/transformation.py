@@ -27,13 +27,24 @@ class SVF3D:
     (/root/reference/utils/transformation.py:51-76).
 
     TPU design: integration runs in *voxel displacement* space with the
-    bounded shift-and-blend warp (see ``ops.resample.warp_bounded``) instead
-    of gather-based ``grid_sample``.  At squaring step ``k`` the running
-    displacement is bounded by ``max_disp / 2^(S-k)`` voxels, so early steps
-    use radius 1 and the radius doubles only near the end — the whole
-    integration costs about one final-radius warp.  ``max_disp`` is the
-    assumed bound on the total displacement magnitude (voxels/axis);
-    displacements beyond it saturate.
+    bounded shift-and-blend warp (see ``ops.resample.warp_bounded``) whose
+    cost scales as ``(2R+1)³`` in the blend radius ``R``.  Instead of
+    squaring all the way up (``T ∘ T`` doubles the sampling offset each
+    step, forcing ``R = max_disp/2`` at the end — the single R=4 step was
+    67% of all device time in the 128³ SGLD trace), the integration is
+    split so every warp offset stays ≤ 1 voxel:
+
+    1. ``φ = exp(v / 2^e)`` by ``S − e`` radius-1 squarings, where
+       ``e = ceil(log2(max_disp))`` — the running displacement during this
+       phase is bounded by ``max_disp / 2^e ≤ 1``;
+    2. ``exp(v) = φ^(2^e)`` by ``2^e − 1`` *one-sided* compositions
+       ``T_{j+1} = T_j ∘ φ``: the sampled *values* ``u_j`` grow toward
+       ``max_disp``, but the sampling *offset* is always ``u_φ`` (≤ 1
+       voxel), so radius 1 suffices throughout.
+
+    ``max_disp`` is the assumed bound on the total displacement magnitude
+    (voxels/axis); beyond it the offsets saturate — detected and surfaced
+    by the ``sat`` counter in ``engine.vi.forward_sample``.
     """
 
     def __init__(self, dims, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False):
@@ -42,20 +53,10 @@ class SVF3D:
         self.max_disp = int(max_disp)
         self.use_gather = bool(use_gather)
         self.id_grid = identity_grid(self.dims)
-        # per-step displacement bound: ceil(max_disp / 2^(S-k)), at least 1
-        self.radii = [
-            max(1, -(-self.max_disp // (2 ** (self.no_steps - k))))
-            for k in range(self.no_steps)
-        ]
-        # run-length encode the radius schedule (e.g. [1]*10+[2,4] for the
-        # default 12-step/max_disp-8 case)
-        runs: list[list[int]] = []
-        for r in self.radii:
-            if runs and runs[-1][0] == r:
-                runs[-1][1] += 1
-            else:
-                runs.append([r, 1])
-        self._radius_runs = [(r, c) for r, c in runs]
+        # split point: e squarings are replaced by 2^e one-sided compositions
+        e = min(self.no_steps, max(0, (self.max_disp - 1).bit_length()))
+        self.no_squarings = self.no_steps - e
+        self.no_compositions = 2 ** e
 
     def __call__(self, v: jnp.ndarray):
         transformation, disp, _ = self.integrate(v, im=None)
@@ -66,14 +67,20 @@ class SVF3D:
 
         Returns ``(transformation, displacement, im_warped)``.
 
-        The image rides *through the squaring cascade*: with
-        ``T_{k+1} = T_k ∘ T_k`` and ``g_{k+1} = g_k ∘ T_k`` (g_0 = im),
-        induction gives ``g_k = im ∘ T_k`` exactly.  At step ``k`` the
-        displacement is bounded by ``max_disp / 2^(S-k)``, so every image
-        warp uses the same small blend radius as that squaring step —
-        instead of one final warp with radius ``max_disp`` whose
-        ``(2·max_disp+2)³``-term blend dominates HBM and FLOPs (measured:
-        the final R=9 warp alone OOM'd a 16 GB v5e at 128³ under autodiff).
+        Phase 1 (squarings) builds ``u_φ`` with ``T ∘ T`` at radius 1; the
+        image is untouched (3-channel warps).  Phase 2 applies ``2^e − 1``
+        one-sided compositions ``T_{j+1} = T_j ∘ φ`` — the displacement and
+        the image are warped by the *same* ≤1-voxel offset ``u_φ``, so one
+        fused 4-channel blend shares the weight computation; induction from
+        ``u_1 = u_φ, g_1 = im ∘ φ`` gives ``g_N = im ∘ φ^N = im ∘ exp(v)``
+        exactly (no trailing ``T_0`` factor — the earlier ride-the-squaring
+        cascade was off by one application of ``id + v/2^S``).
+
+        Both loops are ``lax.scan`` so each body is traced/compiled once
+        (unrolled warp graphs fuse into one enormous XLA module — 130s+ CPU
+        compiles).  No ``jax.checkpoint``: warp_bounded's analytic VJP keeps
+        only its inputs as residuals, which are exactly the scan carries —
+        remat would add a recompute pass for nothing.
         """
         if self.use_gather:
             transformation, disp = self._call_gather(v)
@@ -83,39 +90,35 @@ class SVF3D:
             return transformation, disp, warped
 
         disp = v / float(2 ** self.no_steps)  # voxel units
-        # Group runs of equal radius into lax.scan so each squaring body is
-        # traced/compiled once (12 unrolled warp_bounded graphs fuse into a
-        # single enormous XLA module otherwise — 130s+ CPU compiles).  No
-        # jax.checkpoint: warp_bounded's analytic VJP keeps only its inputs
-        # as residuals, which are exactly the scan carries — remat would add
-        # a recompute pass plus layout-shuffled carry copies for nothing.
-        g = im
-        for radius, count in self._radius_runs:
-            if g is None:
-                def step(d, r=radius):
-                    return d + warp_bounded(d, d, r)
+        if self.no_squarings:
+            def squaring(d, _):
+                return d + warp_bounded(d, d, 1), None
 
-                if count == 1:
-                    disp = step(disp)
-                else:
-                    disp, _ = jax.lax.scan(
-                        lambda d, _, step=step: (step(d), None), disp, None,
-                        length=count)
-            else:
-                def step_im(d, g, r=radius):
-                    # fuse: d and g are warped by the same displacement, so
-                    # one 4-channel blend shares the weight computation
-                    both = jnp.concatenate([d, g[None] if g.ndim == 3 else g], axis=0)
-                    warped = warp_bounded(both, d, r)
-                    g_w = warped[3:]
-                    return d + warped[:3], g_w[0] if g.ndim == 3 else g_w
+            disp, _ = jax.lax.scan(squaring, disp, None,
+                                   length=self.no_squarings)
+        u_phi = disp  # |u_phi| <= max_disp / 2^e <= 1 voxel by assumption
+        N = self.no_compositions
 
-                if count == 1:
-                    disp, g = step_im(disp, g)
-                else:
-                    (disp, g), _ = jax.lax.scan(
-                        lambda c, _, s=step_im: (s(*c), None), (disp, g), None,
-                        length=count)
+        g = None
+        if im is None:
+            if N > 1:
+                def compose(d, _):
+                    return u_phi + warp_bounded(d, u_phi, 1), None
+
+                disp, _ = jax.lax.scan(compose, u_phi, None, length=N - 1)
+        else:
+            g0 = im[None] if im.ndim == 3 else im
+            g = warp_bounded(g0, u_phi, 1)  # g_1 = im ∘ φ
+            if N > 1:
+                def compose_im(carry, _):
+                    d, gc = carry
+                    both = jnp.concatenate([d, gc], axis=0)
+                    w = warp_bounded(both, u_phi, 1)
+                    return (u_phi + w[:3], w[3:]), None
+
+                (disp, g), _ = jax.lax.scan(compose_im, (u_phi, g), None,
+                                            length=N - 1)
+            g = g[0] if im.ndim == 3 else g
         transformation = self.id_grid + voxel_to_normalised(disp)
         return transformation, disp, g
 

@@ -72,22 +72,102 @@ def test_warp_bounded_gradients_match_gather():
 
 
 def test_svf_bounded_matches_gather_integration():
-    """SVF integration via bounded warps ≈ the reference gather formulation."""
+    """Composition integration ≈ the reference squaring formulation.
+
+    The bounded path integrates ``exp(v) = φ^(2^e)`` by one-sided
+    compositions while the gather path squares all the way up; both are
+    discretizations of the same exponential map, so they agree to
+    (shared) trilinear interpolation error on smooth fields — and, vs an
+    RK4 ground truth, to the same accuracy (measured: max err 0.454 vs
+    0.457 voxels on a 3-voxel-peak field; see also the test below).
+    """
     rng = np.random.default_rng(4)
-    dims = (12, 12, 12)
-    v = (rng.standard_normal((3,) + dims) * 0.8).astype(np.float32)
+    dims = (16, 16, 16)
+    v = _smooth_field(rng, dims, peak=2.0)
 
     svf_b = SVF3D(dims, no_steps=8, max_disp=4)
     svf_g = SVF3D(dims, no_steps=8, use_gather=True)
 
     T_b, d_b = svf_b(jnp.asarray(v))
     T_g, d_g = svf_g(jnp.asarray(v))
-    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_g), atol=1e-4, rtol=1e-3)
-    np.testing.assert_allclose(np.asarray(T_b), np.asarray(T_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_g), atol=0.05)
+    np.testing.assert_allclose(np.asarray(T_b), np.asarray(T_g), atol=0.01)
 
 
-def test_svf_radius_schedule():
+def _smooth_field(rng, dims, peak):
+    from scipy.ndimage import gaussian_filter
+
+    v = rng.standard_normal((3,) + dims).astype(np.float64)
+    v = np.stack([gaussian_filter(c, 2.0) for c in v])
+    return (v * peak / np.abs(v).max()).astype(np.float32)
+
+
+def test_svf_integration_accuracy_vs_ode_truth():
+    """Both integration schemes hit the true flow to the same accuracy.
+
+    Ground truth: per-voxel RK4 integration of dx/dt = v(x) with cubic
+    interpolation of v.  The composition scheme (hot path) must be at
+    least as accurate as the reference's squaring scheme — guards against
+    a regression where the cheap radius-1 steps would degrade the map.
+    """
+    from scipy.ndimage import map_coordinates
+
+    rng = np.random.default_rng(7)
+    dims = (16, 16, 16)
+    v = _smooth_field(rng, dims, peak=2.5).astype(np.float64)
+
+    grid = np.stack(np.meshgrid(
+        *[np.arange(d, dtype=np.float64) for d in dims], indexing="ij"))
+    pos = grid.reshape(3, -1).copy()
+    nsteps, h = 32, 1.0 / 32
+
+    def interp_v(p):
+        return np.stack([
+            map_coordinates(v[c], p, order=3, mode="nearest") for c in range(3)])
+
+    for _ in range(nsteps):
+        k1 = interp_v(pos)
+        k2 = interp_v(pos + 0.5 * h * k1)
+        k3 = interp_v(pos + 0.5 * h * k2)
+        k4 = interp_v(pos + h * k3)
+        pos = pos + (h / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+    u_true = (pos - grid.reshape(3, -1)).reshape((3,) + dims)
+
+    vf = jnp.asarray(v.astype(np.float32))
+    sl = (slice(None),) + (slice(3, -3),) * 3  # interior: border modes differ
+    _, d_b = SVF3D(dims, no_steps=8, max_disp=4)(vf)
+    _, d_g = SVF3D(dims, no_steps=8, use_gather=True)(vf)
+    err_b = np.abs(np.asarray(d_b, np.float64) - u_true)[sl].mean()
+    err_g = np.abs(np.asarray(d_g, np.float64) - u_true)[sl].mean()
+    assert err_b <= err_g * 1.1 + 1e-4, (err_b, err_g)
+
+
+def test_svf_integration_plan():
+    # exp(v) = φ^(2^e), φ built by radius-1 squarings; e = ceil(log2(max_disp))
     svf = SVF3D((16, 16, 16), no_steps=12, max_disp=8)
-    assert svf.radii == [1] * 9 + [1, 2, 4]
+    assert (svf.no_squarings, svf.no_compositions) == (9, 8)
     svf = SVF3D((16, 16, 16), no_steps=4, max_disp=8)
-    assert svf.radii == [1, 1, 2, 4]
+    assert (svf.no_squarings, svf.no_compositions) == (1, 8)
+    svf = SVF3D((16, 16, 16), no_steps=12, max_disp=1)
+    assert (svf.no_squarings, svf.no_compositions) == (12, 1)
+
+
+def test_svf_image_cascade_matches_gather_warp():
+    """im riding the integration == gather-warping im by the final T."""
+    rng = np.random.default_rng(11)
+    dims = (16, 16, 16)
+    v = _smooth_field(rng, dims, peak=2.0)
+    from scipy.ndimage import gaussian_filter
+    im = gaussian_filter(rng.standard_normal(dims), 1.5).astype(np.float32)
+    im /= np.abs(im).max()
+
+    svf = SVF3D(dims, no_steps=8, max_disp=4)
+    T, d, warped = svf.integrate(jnp.asarray(v), im=jnp.asarray(im))
+    ref = grid_sample(jnp.asarray(im), T, mode="linear")
+    # the cascade resamples the image once per composition (2^e times total,
+    # vs 12 for the round-1 ride-the-squaring cascade), so agreement is to
+    # interpolation error on smooth content, not float tolerance (measured
+    # here: mean 0.006, p99 0.041, max 0.071 on a unit-amplitude image)
+    diff = np.abs(np.asarray(warped) - np.asarray(ref))
+    assert diff.mean() < 0.02, diff.mean()
+    assert diff.max() < 0.15, diff.max()
