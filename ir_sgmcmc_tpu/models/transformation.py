@@ -110,14 +110,18 @@ class SVF3D:
             g0 = im[None] if im.ndim == 3 else im
             g = warp_bounded(g0, u_phi, 1)  # g_1 = im ∘ φ
             if N > 1:
-                def compose_im(carry, _):
-                    d, gc = carry
-                    both = jnp.concatenate([d, gc], axis=0)
-                    w = warp_bounded(both, u_phi, 1)
-                    return (u_phi + w[:3], w[3:]), None
+                # carry [d | g] as ONE array so the scan body is a single
+                # fused warp plus one add — no per-step concat/split
+                u_phi_g = jnp.concatenate(
+                    [u_phi, jnp.zeros_like(g)], axis=0)
 
-                (disp, g), _ = jax.lax.scan(compose_im, (u_phi, g), None,
-                                            length=N - 1)
+                def compose_im(state, _):
+                    return warp_bounded(state, u_phi, 1) + u_phi_g, None
+
+                state0 = jnp.concatenate([u_phi, g], axis=0)
+                state, _ = jax.lax.scan(compose_im, state0, None,
+                                        length=N - 1)
+                disp, g = state[:3], state[3:]
             g = g[0] if im.ndim == 3 else g
         transformation = self.id_grid + voxel_to_normalised(disp)
         return transformation, disp, g
