@@ -106,6 +106,17 @@ class Trainer:
         self.ndv_tol = float(self.t_cfg.get("non_diffeomorphic_tolerance", 0.001))
         self.sat_tol = float(self.t_cfg.get("saturation_tolerance", 0.001))
         self.speed_test_iters = int(self.t_cfg.get("speed_test_iters", 100))
+        # host-bandwidth throttles: the full chain state (~300 MB at 128³)
+        # and the per-sample artifacts (~45 MB/chain) cross the device→host
+        # link on every save — at the axon tunnel's measured ~10 MB/s that
+        # dominated the in-trainer MCMC wall.  Checkpoints are time-gated
+        # (phase ends always checkpoint); artifact saving has its own
+        # period, defaulting to every log period (reference cadence,
+        # trainer.py:391).
+        self.ckpt_period_s = float(self.t_cfg.get("checkpoint_period_s", 300.0))
+        self.save_period_mcmc = int(
+            self.t_cfg.get("save_period_MCMC", self.log_period_mcmc))
+        self._last_ckpt_t = float("-inf")
 
         keys = ["data_term", "reg_term", "entropy_term", "total_loss", "vd_alpha",
                 "reg_energy", "ndv", "sat"]
@@ -270,6 +281,16 @@ class Trainer:
                 self.writer.add_scalar(f"ASD/{tag}/mean", float(asd[0][finite].mean()))
         return float(dsc.mean())
 
+    def _maybe_checkpoint(self, path, state, meta, force: bool = False) -> None:
+        """Time-gated checkpoint: writing the chain state costs ~30 s at
+        128³ over the tunnel, so it happens at most every
+        ``checkpoint_period_s`` (and always at phase boundaries)."""
+        now = time.perf_counter()
+        if not force and now - self._last_ckpt_t < self.ckpt_period_s:
+            return
+        save_checkpoint(path, state, meta)
+        self._last_ckpt_t = time.perf_counter()
+
     def _check_saturation(self, sat: int, step: int, phase: str) -> None:
         """Displacement-saturation guard: warn on any clamped voxels, abort
         above ``saturation_tolerance`` (same scale as the diffeo guard)."""
@@ -353,10 +374,11 @@ class Trainer:
                 float(last["data_term"]), float(last["reg_term"]),
                 float(last["entropy_term"]), mean_dsc, int(last["ndv"]),
             )
-            save_checkpoint(
+            self._maybe_checkpoint(
                 self.save_dirs["models"] / "vi_latest.npz", state,
                 {"phase": "VI", "phase_done": 0, "vi_iters": done,
                  "config": self.config.name},
+                force=done >= self.no_iters_vi,
             )
         return state
 
@@ -518,10 +540,16 @@ class Trainer:
         chunk_fns = {}
 
         def run_steps(mcmc, n):
-            """Advance ``n`` transitions in capped device chunks."""
+            """Advance ``n`` transitions in capped device chunks.
+
+            Prefers an already-compiled chunk length: a transition-scan
+            compile is ~100 s at 128³, and shorter chunks also stay clear
+            of the long-device-program degradation (scan_fault_probe).
+            """
             ms = None
             while n > 0:
-                this = min(cap, n)
+                compiled = [length for length in chunk_fns if length <= n]
+                this = max(compiled) if compiled else min(cap, n)
                 if this not in chunk_fns:
                     chunk_fns[this] = make_mcmc_chunk(
                         bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
@@ -538,63 +566,92 @@ class Trainer:
         summary = {}
         done = int(np.asarray(mcmc.step))
         t0 = time.perf_counter()
+
+        def process(done_at, last_dev, outs, state):
+            """Host-side work for one completed log period.
+
+            Called AFTER the next device chunk has been dispatched: every
+            array read here was produced by an already-finished chunk, so
+            the EDT-based ASD, NIfTI savers, figures and the checkpoint
+            overlap with device compute instead of serialising against it
+            (measured 2x in-trainer MCMC throughput at 128³).  The
+            diffeo/saturation guards consequently fire one log period after
+            the offending chunk ran — same detection step and message, one
+            extra (discarded) chunk of device work.
+            """
+            last = _host(last_dev)
+            self.writer.set_step(done_at)
+            for k in ("data_term", "reg_term", "vd_alpha", "reg_energy",
+                      "ndv", "sat"):
+                for c in range(self.no_chains):
+                    self.writer.add_scalar(f"MCMC/{k}/chain_{c}",
+                                           float(np.asarray(last[k])[c]))
+            self._check_saturation(
+                int(np.asarray(last["sat"]).max()), done_at, "MCMC")
+
+            # diffeomorphism guard — abort as the reference does
+            # (trainer.py:441-445) when any chain folds at > tol voxels
+            worst = int(np.asarray(last["ndv"]).max())
+            if worst > self.ndv_tol * no_voxels:
+                raise NonDiffeomorphicAbort(
+                    f"chain transformation folded at {worst} voxels "
+                    f"(> {self.ndv_tol:.1%} of {int(no_voxels)}) at step {done_at}"
+                )
+
+            post_burn_in = done_at > self.no_iters_burn_in
+            # artifact saving fetches ~45 MB/chain over the tunnel — gated
+            # on its own period so metric logging can stay frequent
+            save_now = (post_burn_in and
+                        ((done_at - self.no_iters_burn_in) % self.save_period_mcmc
+                         < log_period or done_at >= total))
+            for c in range(self.no_chains):
+                out_c = jax.tree.map(lambda x: x[c], outs)
+                self._log_seg_metrics(fixed_seg_np, out_c, "MCMC", chain=c)
+                if save_now:
+                    savers.save_sample(
+                        self.save_dirs, self.spacing,
+                        done_at - self.no_iters_burn_in, out_c["im_warped"],
+                        out_c["displacement"], out_c["log_det_J"],
+                        "MCMC", chain_no=c)
+                    if self.writer.has_figures:
+                        from .utils import figures
+
+                        self.writer.add_figure(
+                            f"MCMC/sample/chain_{c}",
+                            figures.sample_grid(
+                                np.asarray(out_c["im_warped"]),
+                                np.asarray(out_c["displacement"]),
+                                np.asarray(out_c["log_det_J"]), chain_no=c))
+            self.logger.info(
+                "MCMC %d/%d data %s reg %s ndv %s",
+                done_at, total,
+                np.array2string(np.asarray(last["data_term"]), precision=1),
+                np.array2string(np.asarray(last["reg_term"]), precision=1),
+                np.asarray(last["ndv"]),
+            )
+            self._maybe_checkpoint(
+                self.save_dirs["models"] / "mcmc_latest.npz", state,
+                {"phase": "MCMC", "phase_done": 1, "mcmc_steps": done_at,
+                 "config": self.config.name},
+                force=done_at >= total,
+            )
+
+        pending = None
         try:
             while done < total:
                 this = min(log_period, total - done)
-                mcmc, ms = run_steps(mcmc, this)
+                mcmc, ms = run_steps(mcmc, this)  # async dispatch
                 done += this
-                last = _host(_last(ms))  # per-chain (C,) leaves
-
-                self.writer.set_step(done)
-                for k in ("data_term", "reg_term", "vd_alpha", "reg_energy",
-                          "ndv", "sat"):
-                    for c in range(self.no_chains):
-                        self.writer.add_scalar(f"MCMC/{k}/chain_{c}",
-                                               float(np.asarray(last[k])[c]))
-                self._check_saturation(
-                    int(np.asarray(last["sat"]).max()), done, "MCMC")
-
-                # diffeomorphism guard — abort as the reference does
-                # (trainer.py:441-445) when any chain folds at > tol voxels
-                worst = int(np.asarray(last["ndv"]).max())
-                if worst > self.ndv_tol * no_voxels:
-                    raise NonDiffeomorphicAbort(
-                        f"chain transformation folded at {worst} voxels "
-                        f"(> {self.ndv_tol:.1%} of {int(no_voxels)}) at step {done}"
-                    )
-
-                outs = eval_fn(mcmc.v)
-                post_burn_in = done > self.no_iters_burn_in
-                for c in range(self.no_chains):
-                    out_c = jax.tree.map(lambda x: x[c], outs)
-                    self._log_seg_metrics(fixed_seg_np, out_c, "MCMC", chain=c)
-                    if post_burn_in:
-                        savers.save_sample(
-                            self.save_dirs, self.spacing,
-                            done - self.no_iters_burn_in, out_c["im_warped"],
-                            out_c["displacement"], out_c["log_det_J"],
-                            "MCMC", chain_no=c)
-                        if self.writer.has_figures:
-                            from .utils import figures
-
-                            self.writer.add_figure(
-                                f"MCMC/sample/chain_{c}",
-                                figures.sample_grid(
-                                    np.asarray(out_c["im_warped"]),
-                                    np.asarray(out_c["displacement"]),
-                                    np.asarray(out_c["log_det_J"]), chain_no=c))
-                self.logger.info(
-                    "MCMC %d/%d data %s reg %s ndv %s",
-                    done, total,
-                    np.array2string(np.asarray(last["data_term"]), precision=1),
-                    np.array2string(np.asarray(last["reg_term"]), precision=1),
-                    np.asarray(last["ndv"]),
-                )
-                save_checkpoint(
-                    self.save_dirs["models"] / "mcmc_latest.npz", mcmc,
-                    {"phase": "MCMC", "phase_done": 1, "mcmc_steps": done,
-                     "config": self.config.name},
-                )
+                # device-side copy: the live state's buffers are DONATED to
+                # the next chunk, so the deferred checkpoint needs its own
+                snap = jax.tree.map(jnp.copy, mcmc)
+                nxt = (done, _last(ms), eval_fn(mcmc.v), snap)
+                if pending is not None:
+                    process(*pending)
+                pending = nxt
+            if pending is not None:  # None when resuming a finished phase
+                process(*pending)
+                pending = None
         except TrainerAbort as e:
             self.logger.error("MCMC aborted: %s", e)
             summary["mcmc_aborted"] = str(e)
@@ -613,15 +670,16 @@ class Trainer:
                     np.asarray(std), np.asarray(fixed["mask"]), "MCMC")
 
         if "mcmc_aborted" not in summary:
-            # MCMC speed test (trainer.py:467-476)
-            speed_fn = make_mcmc_chunk(
-                bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
-                chunk=self.speed_test_iters, burn_in=0, thin=1,
-                param_mode=self.mcmc_param_mode)
-            mcmc, _ = speed_fn(mcmc)  # compile + warm
+            # MCMC speed test (trainer.py:467-476).  Reuses the already-
+            # compiled run_steps chunks: a dedicated chunk of length
+            # speed_test_iters would recompile the whole transition scan
+            # (~100 s at 128³) just for the timer.  The chains are past
+            # burn-in, so the timed transitions exercise the identical
+            # sampling path.
+            mcmc, _ = run_steps(mcmc, self.speed_test_iters)  # warm lengths
             _ = float(np.asarray(mcmc.v).mean())
             t1 = time.perf_counter()
-            mcmc, _ = speed_fn(mcmc)
+            mcmc, _ = run_steps(mcmc, self.speed_test_iters)
             _ = float(np.asarray(mcmc.v).mean())
             dt = time.perf_counter() - t1
             sps = self.no_chains * self.speed_test_iters / dt

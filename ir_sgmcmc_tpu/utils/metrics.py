@@ -78,11 +78,22 @@ def _edt(binary: np.ndarray, spacing) -> np.ndarray:
 
 
 def average_surface_distance(seg_fixed, seg_moving, label, spacing=(1.0, 1.0, 1.0)) -> float:
-    """Average symmetric Hausdorff distance between label contours."""
+    """Average symmetric Hausdorff distance between label contours.
+
+    The distance transforms run on the union bounding box of the two
+    surfaces, not the full volume: the EDT to a set ``B`` is exact for any
+    query point inside a crop that contains all of ``B``, and both query
+    sets lie in the union box.  Subcortical structures span ~30³ of a 128³
+    volume, so this cuts the per-structure cost ~100× (it dominated the
+    in-trainer MCMC wall at 128³) with identical results.
+    """
     a = _surface(np.asarray(seg_fixed) == label)
     b = _surface(np.asarray(seg_moving) == label)
     if not a.any() or not b.any():
         return float("inf")
+    idx = np.nonzero(a | b)
+    sl = tuple(slice(int(i.min()), int(i.max()) + 1) for i in idx)
+    a, b = a[sl], b[sl]
     da = _edt(a, spacing)
     db = _edt(b, spacing)
     return float((db[a].sum() + da[b].sum()) / (a.sum() + b.sum()))

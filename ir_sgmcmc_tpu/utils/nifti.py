@@ -29,7 +29,10 @@ _CODES = {code: dt for dt, (code, _) in _DTYPES.items()}
 def _open(path, mode):
     p = str(path)
     if p.endswith(".gz"):
-        return gzip.open(p, mode)
+        # compresslevel 1 matches nibabel's default and is ~7x faster than
+        # the gzip default (9) on float volumes — sample saving is on the
+        # trainer's per-log-period host path
+        return gzip.open(p, mode, compresslevel=1) if "w" in mode else gzip.open(p, mode)
     return open(p, mode)
 
 
