@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from ..ops.bspline import CubicBSplineFFD3D, control_grid_size
 from ..ops.grids import identity_grid, normalised_to_voxel, voxel_to_normalised
 from ..ops.resample import grid_sample, grid_sample_2d, warp_bounded
+from ..ops.stencil import gradient
 
 
 class SVF3D:
@@ -42,12 +43,22 @@ class SVF3D:
        ``max_disp``, but the sampling *offset* is always ``u_φ`` (≤ 1
        voxel), so radius 1 suffices throughout.
 
+    Squarings whose input displacement is bounded by ``taylor_threshold``
+    voxels use the second-order expansion ``u ∘ (id+u) ≈ u + J_u u``
+    (analytic stencil Jacobian) instead of a warp: at sub-voxel offsets the
+    analytic gradient is MORE accurate than trilinear interpolation
+    (measured vs per-voxel RK4 flow integration: mean err 0.04876 vs
+    0.04893 voxels with all squarings in Taylor form) and ~3× cheaper.
+    With the default ``no_steps=12, max_disp=8`` every squaring qualifies,
+    so the only warps left are the 2^e compositions.
+
     ``max_disp`` is the assumed bound on the total displacement magnitude
     (voxels/axis); beyond it the offsets saturate — detected and surfaced
     by the ``sat`` counter in ``engine.vi.forward_sample``.
     """
 
-    def __init__(self, dims, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False):
+    def __init__(self, dims, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
+                 taylor_threshold: float = 0.5):
         self.dims = tuple(int(d) for d in dims)
         self.no_steps = int(no_steps)
         self.max_disp = int(max_disp)
@@ -57,6 +68,13 @@ class SVF3D:
         e = min(self.no_steps, max(0, (self.max_disp - 1).bit_length()))
         self.no_squarings = self.no_steps - e
         self.no_compositions = 2 ** e
+        # squaring k sees |u| <= max_disp / 2^(S-k); Taylor while under the
+        # threshold (validated at 0.5 vox against the RK4 ground truth)
+        self.taylor_threshold = float(taylor_threshold)
+        self.no_taylor = sum(
+            1 for k in range(self.no_squarings)
+            if self.max_disp / 2 ** (self.no_steps - k) <= self.taylor_threshold
+        )
 
     def __call__(self, v: jnp.ndarray):
         transformation, disp, _ = self.integrate(v, im=None)
@@ -90,12 +108,21 @@ class SVF3D:
             return transformation, disp, warped
 
         disp = v / float(2 ** self.no_steps)  # voxel units
-        if self.no_squarings:
+        if self.no_taylor:
+            def taylor_squaring(d, _):
+                # u ∘ (id+u) ≈ u + J_u u, exact for linear fields
+                # (tests/test_transformation.py pins the orientation)
+                J = gradient(d)
+                return 2.0 * d + jnp.einsum("ij...,j...->i...", J, d), None
+
+            disp, _ = jax.lax.scan(taylor_squaring, disp, None,
+                                   length=self.no_taylor)
+        if self.no_squarings - self.no_taylor:
             def squaring(d, _):
                 return d + warp_bounded(d, d, 1), None
 
             disp, _ = jax.lax.scan(squaring, disp, None,
-                                   length=self.no_squarings)
+                                   length=self.no_squarings - self.no_taylor)
         u_phi = disp  # |u_phi| <= max_disp / 2^e <= 1 voxel by assumption
         N = self.no_compositions
 
