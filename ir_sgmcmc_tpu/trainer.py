@@ -676,13 +676,17 @@ class Trainer:
             # (~100 s at 128³) just for the timer.  The chains are past
             # burn-in, so the timed transitions exercise the identical
             # sampling path.
-            mcmc, _ = run_steps(mcmc, self.speed_test_iters)  # warm lengths
+            lengths = sorted(chunk_fns)
+            iters = self.speed_test_iters
+            if lengths and iters < lengths[0]:
+                iters = lengths[0]  # no shorter compiled chunk — round up
+            mcmc, _ = run_steps(mcmc, iters)  # warm lengths
             _ = float(np.asarray(mcmc.v).mean())
             t1 = time.perf_counter()
-            mcmc, _ = run_steps(mcmc, self.speed_test_iters)
+            mcmc, _ = run_steps(mcmc, iters)
             _ = float(np.asarray(mcmc.v).mean())
             dt = time.perf_counter() - t1
-            sps = self.no_chains * self.speed_test_iters / dt
+            sps = self.no_chains * iters / dt
             self.logger.info("MCMC sampling speed: %.2f samples/sec", sps)
             summary["mcmc_samples_per_sec"] = sps
 

@@ -6,9 +6,14 @@ Makes the per-op numbers in BASELINE.md reproducible by a checked-in tool
     python scripts/trace_summary.py /tmp/trace [--top 25]
 
 Parses the Perfetto/Chrome-trace JSON the profiler writes under
-``plugins/profile/<run>/*.trace.json.gz`` and aggregates complete events by
-name across all device tracks, printing total/mean duration and call count,
-sorted by total time.
+``plugins/profile/<run>/*.trace.json.gz``, restricted to the device-side
+"XLA Ops" tracks (host python frames otherwise dominate the table), with
+
+* SELF time per op: device events nest (``while`` and ``closed_call``
+  wrap their bodies), so flat sums double-count parents;
+* Pallas custom-calls attributed to their ``source`` file:line (all
+  ``closed_call``s look alike otherwise);
+* trailing ``.NN`` instance suffixes folded together.
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ from __future__ import annotations
 import argparse
 import gzip
 import json
+import re
 from collections import defaultdict
 from pathlib import Path
 
@@ -34,21 +40,50 @@ def load_events(trace_dir: Path):
 
 
 def summarise(trace_dir: Path, top: int = 25):
-    total = defaultdict(float)
+    self_t = defaultdict(float)
     count = defaultdict(int)
+    total = 0.0
     for _, events in load_events(trace_dir):
+        # device op tracks only
+        op_tracks = {
+            (e.get("pid"), e.get("tid"))
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "thread_name"
+            and e.get("args", {}).get("name") == "XLA Ops"
+        }
+        per_track = defaultdict(list)
         for e in events:
-            # complete events carry a duration in microseconds
-            if e.get("ph") == "X" and "dur" in e and e.get("name"):
-                name = e["name"]
-                total[name] += float(e["dur"])
+            if (e.get("ph") == "X" and "dur" in e
+                    and (e.get("pid"), e.get("tid")) in op_tracks):
+                per_track[(e["pid"], e["tid"])].append(e)
+        for evs in per_track.values():
+            # parents first at equal start times; subtract child time
+            evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+            stack = []
+            child = defaultdict(float)
+            for e in evs:
+                while stack and stack[-1]["ts"] + stack[-1]["dur"] <= e["ts"] + 1e-9:
+                    stack.pop()
+                if stack:
+                    child[id(stack[-1])] += e["dur"]
+                stack.append(e)
+            for e in evs:
+                st = e["dur"] - child[id(e)]
+                name = re.sub(r"\.\d+.*$", "", e["name"])
+                if name == "closed_call":
+                    src = e.get("args", {}).get("source", "?")
+                    name = f"pallas@{src.rsplit('/', 1)[-1]}"
+                self_t[name] += st
                 count[name] += 1
-    rows = sorted(total.items(), key=lambda kv: -kv[1])[:top]
+                total += st
+
+    rows = sorted(self_t.items(), key=lambda kv: -kv[1])[:top]
     width = max((len(n) for n, _ in rows), default=4)
-    print(f"{'op':<{width}}  {'total_ms':>10}  {'calls':>7}  {'mean_us':>10}")
+    print(f"device self-time total: {total / 1e3:.1f} ms")
+    print(f"{'op':<{width}}  {'total_ms':>10}  {'share':>6}  {'calls':>7}  {'mean_us':>10}")
     for name, t in rows:
-        print(f"{name:<{width}}  {t / 1e3:>10.3f}  {count[name]:>7}  "
-              f"{t / max(count[name], 1):>10.1f}")
+        print(f"{name:<{width}}  {t / 1e3:>10.3f}  {100 * t / total:>5.1f}%  "
+              f"{count[name]:>7}  {t / max(count[name], 1):>10.1f}")
     return rows
 
 
