@@ -235,3 +235,37 @@ def test_mcmc_checkpoint_resume(tmp_path):
     # resumed at step 8 == burn_in + samples: the sampling loop is a no-op,
     # only the final statistics and speed test run
     assert summaries[0]["mcmc_samples_per_sec"] > 0
+
+
+def test_checkpoint_time_gating_and_save_period(tmp_path):
+    """Cadence throttles: mid-phase checkpoints respect checkpoint_period_s
+    (phase boundaries always write), and save_period_MCMC decouples the
+    artifact dumps from the metric log period."""
+    config = _demo_cfg(
+        tmp_path,
+        no_iters_burn_in=0,
+        no_samples_MCMC=8,
+        log_period_MCMC=2,
+        save_period_MCMC=4,
+        checkpoint_period_s=10_000.0,  # only the forced phase-end writes
+    )
+    trainer = Trainer(config)
+    summaries = trainer.run()
+    assert "mcmc_aborted" not in summaries[0]
+
+    run_dir = config.dir
+    # phase-end checkpoints exist despite the huge gating period
+    assert (run_dir / "models/vi_latest.npz").exists()
+    mcmc_ckpt = run_dir / "models/mcmc_latest.npz"
+    assert mcmc_ckpt.exists()
+    from ir_sgmcmc_tpu.utils.checkpoint import peek_meta
+
+    assert peek_meta(mcmc_ckpt)["mcmc_steps"] == 8
+
+    # artifacts only at multiples of save_period (4, 8) + the final period,
+    # not at every log period (2, 6 absent)
+    steps = sorted({
+        int(p.name.split("_")[3])
+        for p in (run_dir / "samples/MCMC").glob("chain_*_im_warped.nii.gz")
+    })
+    assert steps == [4, 8], steps
