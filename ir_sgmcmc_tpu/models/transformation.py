@@ -111,9 +111,9 @@ class SVF3D:
         if self.no_taylor:
             def taylor_squaring(d, _):
                 # u ∘ (id+u) ≈ u + J_u u, exact for linear fields
-                # (tests/test_transformation.py pins the orientation)
+                # (tests pin the orientation)
                 J = gradient(d)
-                return 2.0 * d + jnp.einsum("ij...,j...->i...", J, d), None
+                return 2.0 * d + jnp.sum(J * d[None, :], axis=1), None
 
             disp, _ = jax.lax.scan(taylor_squaring, disp, None,
                                    length=self.no_taylor)
