@@ -285,14 +285,19 @@ def _tblend_kernel(x_hbm, out_ref, window, sem,
                 for ix, ox in enumerate(offsets):
                     a = wxs[ix] * b
                     inner = inner + _rollx_zero(a, ox, W, col)
-                    # x edge-fold: out-of-range mass onto the border lane
+                    # x edge-fold: out-of-range mass onto the border lane.
+                    # The mass lives in exactly |ox| edge lanes — slice and
+                    # (for |ox| > 1) reduce those, instead of a masked
+                    # full-width reduction per term
                     if ox < 0:
-                        lo = jnp.sum(jnp.where(col < -ox, a, 0.0),
-                                     axis=1, keepdims=True)
+                        lo = jax.lax.slice_in_dim(a, 0, -ox, axis=1)
+                        if -ox > 1:
+                            lo = jnp.sum(lo, axis=1, keepdims=True)
                         inner = inner + jnp.where(col == 0, lo, 0.0)
                     elif ox > 0:
-                        hi = jnp.sum(jnp.where(col >= W - ox, a, 0.0),
-                                     axis=1, keepdims=True)
+                        hi = jax.lax.slice_in_dim(a, W - ox, W, axis=1)
+                        if ox > 1:
+                            hi = jnp.sum(hi, axis=1, keepdims=True)
                         inner = inner + jnp.where(col == W - 1, hi, 0.0)
                 # y shift: element y' takes inner(y' + P - oy)
                 rolled = pltpu.roll(inner, (-(P - oy)) % Hy, axis=0)
