@@ -1,18 +1,21 @@
-"""Pallas TPU kernel for the bounded shift-and-blend trilinear warp.
+"""Pallas TPU kernels for the bounded shift-and-blend trilinear warp.
 
 The XLA formulation of :func:`ir_sgmcmc_tpu.ops.resample.warp_bounded`
 (slice-multiply-accumulate over ``(2R+2)³`` statically shifted copies)
 round-trips every shifted term through HBM — lane-dimension shifts are
 materialised copies — costing ~30-80 ms per 128³ warp on a v5e (measured).
-This kernel keeps the whole working set in VMEM:
+These kernels keep the whole working set in VMEM:
 
 * the volume is replicate-padded in z and y only (lane dimension stays
   128-aligned); x shifts are in-register ``pltpu.roll``s with border-clamp
   masking on the wrapped lanes,
-* the grid walks (channel, z-tile); the padded volume block depends only on
-  the channel, so Mosaic re-uses it across all z-tiles of a channel,
-* per (oz, oy) a ``(TD, H, W)`` slab is read from the VMEM block; the four
-  x-offsets blend in registers with triangular weights computed on the fly
+* the grid walks z-tiles; all channels are processed per program with the
+  blend weights (``tri`` products of the displacement, identical across
+  channels) computed ONCE and reused — but every per-element op stays 2D
+  ``(H, W)`` via python channel loops: a channel-vectorised variant with
+  ``(C, H, W)`` leading-dim ops measured 2× slower (Mosaic relayouts),
+* per (oz, oy) the slabs are read from per-channel haloed z-windows
+  stacked in one VMEM scratch; triangular weights are computed on the fly
   from the displacement block.
 
 HBM traffic per warp ≈ one read of vol+disp and one write of out, the
@@ -49,21 +52,32 @@ def _shift_x_clamped(slab: jnp.ndarray, ox: int, W: int, col: jnp.ndarray):
     return jnp.where(col >= -ox, rolled, edge)
 
 
-def _warp_kernel(vol_hbm, disp_ref, out_ref, window, sem,
-                 *, R: int, TD: int, H: int, W: int):
-    P = R
-    c = pl.program_id(0)
-    i = pl.program_id(1)
-    offsets = list(range(-R, R + 1))
+def _load_windows(src_hbm, window, sem, *, C, rows_src, rows_win, src0, win_rows):
+    """Sequential per-channel DMAs of haloed z-windows into one 3D scratch.
 
-    # DMA the haloed z-window of this channel into VMEM (~1 MB).  vol_hbm is
-    # channel-flattened to (C·Dp, Hp, W) so the window is one dynamic slice.
-    Dp = pl.num_programs(1) * TD + 2 * P
-    dma = pltpu.make_async_copy(
-        vol_hbm.at[pl.ds(c * Dp + i * TD, TD + 2 * P)], window, sem)
-    dma.start()
+    Channel ``c``'s rows ``[src0(c), src0(c)+win_rows)`` of ``src_hbm``
+    land at scratch rows ``[c·win_rows, (c+1)·win_rows)``.
+    """
+    for c in range(C):
+        dma = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(src0(c), win_rows)],
+            window.at[pl.ds(c * win_rows, win_rows)], sem)
+        dma.start()
+        dma.wait()
+
+
+def _warp_kernel(vol_hbm, disp_ref, out_ref, window, sem,
+                 *, R: int, C: int, TD: int, H: int, W: int):
+    P = R
+    i = pl.program_id(0)
+    offsets = list(range(-R, R + 1))
+    WR = TD + 2 * P  # window rows per channel
+    Dp = pl.num_programs(0) * TD + 2 * P
+
+    _load_windows(vol_hbm, window, sem, C=C, rows_src=Dp, rows_win=WR,
+                  src0=lambda c: c * Dp + i * TD, win_rows=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    dma.wait()
+    Hp = window.shape[1]
 
     # one output z-slice at a time: all blend temporaries are (H, W) plane
     # registers (full-tile temps blew the 16 MB VMEM stack at 128³)
@@ -71,91 +85,97 @@ def _warp_kernel(vol_hbm, disp_ref, out_ref, window, sem,
         d = jnp.clip(disp_ref[:, z], -R, R)  # (3, H, W)
         dx, dy, dz = d[0], d[1], d[2]
         wx = [_tri(dx - ox) for ox in offsets]
-        acc = jnp.zeros((H, W), jnp.float32)
-
         wy = [_tri(dy - oy) for oy in offsets]
-        Hp = window.shape[1]
 
-        def accumulate(acc, oz, wz):
-            # one aligned full-row read per oz; y-shifts are sublane rolls
-            # followed by an aligned prefix slice (no wraparound: the window
-            # is edge-padded in y, and y + P + oy < Hp for all valid y)
-            plane = window[pl.ds(z + P + oz, 1), :, :].reshape(Hp, W)
+        def accumulate(accs, oz, wz):
+            # one aligned full-row read per (channel, oz); y-shifts are
+            # sublane rolls followed by an aligned prefix slice (no
+            # wraparound: the window is edge-padded in y, and
+            # y + P + oy < Hp for all valid y)
+            planes = [
+                window[pl.ds(c * WR + z + P + oz, 1)].reshape(Hp, W)
+                for c in range(C)
+            ]
             for iy, oy in enumerate(offsets):
                 wzy = wz * wy[iy]
-                rolled = pltpu.roll(plane, (-(P + oy)) % Hp, axis=0)
-                slab = rolled[0:H, :]
+                slabs = [pltpu.roll(p, (-(P + oy)) % Hp, axis=0)[0:H, :]
+                         for p in planes]
                 for ix, ox in enumerate(offsets):
-                    acc = acc + (wzy * wx[ix]) * _shift_x_clamped(slab, ox, W, col)
-            return acc
+                    wc = wzy * wx[ix]  # shared by all channels
+                    accs = tuple(
+                        a + wc * _shift_x_clamped(s, ox, W, col)
+                        for a, s in zip(accs, slabs))
+            return accs
 
+        accs = tuple(jnp.zeros((H, W), jnp.float32) for _ in range(C))
         if R <= 2:
             for oz in offsets:
-                acc = accumulate(acc, oz, _tri(dz - oz))
+                accs = accumulate(accs, oz, _tri(dz - oz))
         else:
-            def body(k, acc):
+            def body(k, accs):
                 oz = k - R  # traced; pl.ds handles the dynamic slab start
-                return accumulate(acc, oz, _tri(dz - oz.astype(jnp.float32)))
+                return accumulate(accs, oz, _tri(dz - oz.astype(jnp.float32)))
 
-            acc = jax.lax.fori_loop(0, len(offsets), body, acc)
+            accs = jax.lax.fori_loop(0, len(offsets), body, accs)
 
-        out_ref[0, z] = acc
+        for c in range(C):
+            out_ref[c, z] = accs[c]
         return 0
 
     jax.lax.fori_loop(0, TD, zbody, 0)
 
 
 def _dgrad_kernel(vol_hbm, disp_ref, g_ref, out_ref, window, sem,
-                  *, R: int, TD: int, H: int, W: int):
+                  *, R: int, C: int, TD: int, H: int, W: int):
     """Displacement-gradient pass of the warp backward.
 
     g_d-axis(p) = Σ_o  W'_axis(d-o) · (other-axis weights) · Σ_c g_c(p)·vol_c(p+o)
 
     Same slab access pattern as the forward kernel plus the derivative
-    weights.  The grid is (z-tile, channel) with channel fastest: the output
-    block is revisited across the channel sweep and accumulates the
-    per-channel contributions in VMEM.
+    weights; the channel sum ``S = Σ_c g_c · vol_c(p+o)`` is built per
+    offset and feeds all three axis accumulators, so the weight products
+    are computed once instead of per channel.
     """
     P = R
     i = pl.program_id(0)
-    c = pl.program_id(1)
     offsets = list(range(-R, R + 1))
-
+    WR = TD + 2 * P
     Dp = pl.num_programs(0) * TD + 2 * P
-    dma = pltpu.make_async_copy(
-        vol_hbm.at[pl.ds(c * Dp + i * TD, TD + 2 * P)], window, sem)
-    dma.start()
-    dma.wait()
+
+    _load_windows(vol_hbm, window, sem, C=C, rows_src=Dp, rows_win=WR,
+                  src0=lambda c: c * Dp + i * TD, win_rows=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     Hp = window.shape[1]
 
     def zbody(z, _):
         d = jnp.clip(disp_ref[:, z], -R, R)  # (3, H, W)
         dx, dy, dz = d[0], d[1], d[2]
-        g = g_ref[0, z]  # (H, W) — this channel's cotangent slice
+        gs = [g_ref[c, z] for c in range(C)]
         wx = [_tri(dx - ox) for ox in offsets]
         dwx = [_dtri(dx - ox) for ox in offsets]
         wy = [_tri(dy - oy) for oy in offsets]
         dwy = [_dtri(dy - oy) for oy in offsets]
 
-        acc_x = jnp.zeros((H, W), jnp.float32)
-        acc_y = jnp.zeros_like(acc_x)
-        acc_z = jnp.zeros_like(acc_x)
-
         def accumulate(carry, oz, wz, dwz):
             acc_x, acc_y, acc_z = carry
-            plane = window[pl.ds(z + P + oz, 1), :, :].reshape(Hp, W)
+            planes = [
+                window[pl.ds(c * WR + z + P + oz, 1)].reshape(Hp, W)
+                for c in range(C)
+            ]
             for iy, oy in enumerate(offsets):
-                rolled = pltpu.roll(plane, (-(P + oy)) % Hp, axis=0)
-                slab = rolled[0:H, :]
+                slabs = [pltpu.roll(p, (-(P + oy)) % Hp, axis=0)[0:H, :]
+                         for p in planes]
                 for ix, ox in enumerate(offsets):
-                    gs = g * _shift_x_clamped(slab, ox, W, col)
-                    acc_x = acc_x + (dwx[ix] * wy[iy] * wz) * gs
-                    acc_y = acc_y + (wx[ix] * dwy[iy] * wz) * gs
-                    acc_z = acc_z + (wx[ix] * wy[iy] * dwz) * gs
+                    S = None
+                    for c in range(C):
+                        t = gs[c] * _shift_x_clamped(slabs[c], ox, W, col)
+                        S = t if S is None else S + t
+                    acc_x = acc_x + (dwx[ix] * wy[iy] * wz) * S
+                    acc_y = acc_y + (wx[ix] * dwy[iy] * wz) * S
+                    acc_z = acc_z + (wx[ix] * wy[iy] * dwz) * S
             return acc_x, acc_y, acc_z
 
-        carry = (acc_x, acc_y, acc_z)
+        carry = (jnp.zeros((H, W), jnp.float32),) * 3
         if R <= 2:
             for oz in offsets:
                 carry = accumulate(carry, oz, _tri(dz - oz), _dtri(dz - oz))
@@ -168,9 +188,7 @@ def _dgrad_kernel(vol_hbm, disp_ref, g_ref, out_ref, window, sem,
             carry = jax.lax.fori_loop(0, len(offsets), body, carry)
 
         for axis in range(3):
-            part = carry[axis]
-            prev = jnp.where(c > 0, out_ref[axis, z], 0.0)
-            out_ref[axis, z] = prev + part
+            out_ref[axis, z] = carry[axis]
         return 0
 
     jax.lax.fori_loop(0, TD, zbody, 0)
@@ -203,20 +221,20 @@ def _dgrad_pallas(vol, disp_vox, g, radius, interpret):
     padded = padded.reshape(C * Dp, Hp, W)
 
     return pl.pallas_call(
-        functools.partial(_dgrad_kernel, R=R, TD=TD, H=H, W=W),
-        grid=(D // TD, C),  # channel fastest: output block accumulates
+        functools.partial(_dgrad_kernel, R=R, C=C, TD=TD, H=H, W=W),
+        grid=(D // TD,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3, TD, H, W), lambda i, c: (0, i, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, TD, H, W), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TD, H, W), lambda i, c: (c, i, 0, 0),
+            pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, TD, H, W), lambda i, c: (0, i, 0, 0),
+        out_specs=pl.BlockSpec((3, TD, H, W), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, D, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TD + 2 * P, Hp, W), jnp.float32),
+            pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -243,78 +261,74 @@ def _tblend_kernel(x_hbm, out_ref, window, sem,
         g_padded(r) = Σ_o (w_o ⊙ g)(r − P − o)
     with the x-axis edge-fold applied in-kernel: the interior term is a
     zero-filled lane roll, and the mass that falls outside [0, W) is exactly
-    the border-clamp fold — summed and deposited on the edge lanes.  The
-    caller slices the valid region and folds z and y (thin concats in XLA).
+    the border-clamp fold — sliced from the |ox| edge lanes and deposited on
+    the border lane.  The caller slices the valid region and folds z and y
+    (thin concats in XLA).
 
-    Inputs are channel-stacked [g(C), dx, dy, dz], zero-padded by 2P in z
-    and y, flattened to ((C+3)·Dz, Hy, W) for windowed DMA.
+    Input is channel-stacked [g(C), dx, dy, dz], zero-padded by 2P in z
+    and y, flattened to ((C+3)·Dz, Hy, W); the displacement windows and the
+    blend weights are shared across the C cotangent channels.
     """
     P = R
-    c = pl.program_id(0)
-    i = pl.program_id(1)
+    i = pl.program_id(0)
     offsets = list(range(-R, R + 1))
-    Dz = pl.num_programs(1) * TZ + 2 * P
+    WR = TZ + 2 * P
+    Dz = pl.num_programs(0) * TZ + 2 * P
 
-    # window slot 0: this grid step's g channel; slots 1-3: disp channels
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(c * Dz + i * TZ, TZ + 2 * P)], window.at[0], sem)
-    dma.start()
-    dma.wait()
-    for ch in range(3):
-        dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds((C + ch) * Dz + i * TZ, TZ + 2 * P)],
-            window.at[1 + ch], sem)
-        dma.start()
-        dma.wait()
+    _load_windows(x_hbm, window, sem, C=C + 3, rows_src=Dz, rows_win=WR,
+                  src0=lambda c: c * Dz + i * TZ, win_rows=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (Hy, W), 1)
 
     def rbody(r, _):
-        acc = jnp.zeros((Hy_out, W), jnp.float32)
-
-        def accumulate(acc, oz, s):
-            # source rows for this z-offset (shared by all y/x terms)
-            dxr = jnp.clip(window[1, s], -R, R)
-            dyr = jnp.clip(window[2, s], -R, R)
-            dzr = jnp.clip(window[3, s], -R, R)
-            gc = window[0, s]
+        def accumulate(accs, oz, s):
+            # source rows for this z-offset (shared by all y/x/channel terms)
+            dxr = jnp.clip(window[pl.ds(C * WR + s, 1)].reshape(Hy, W), -R, R)
+            dyr = jnp.clip(window[pl.ds((C + 1) * WR + s, 1)].reshape(Hy, W), -R, R)
+            dzr = jnp.clip(window[pl.ds((C + 2) * WR + s, 1)].reshape(Hy, W), -R, R)
+            gcs = [window[pl.ds(c * WR + s, 1)].reshape(Hy, W) for c in range(C)]
             wz = _tri(dzr - oz)
             wxs = [_tri(dxr - ox) for ox in offsets]
             for oy in offsets:
-                b = (wz * _tri(dyr - oy)) * gc
-                inner = jnp.zeros((Hy, W), jnp.float32)
-                for ix, ox in enumerate(offsets):
-                    a = wxs[ix] * b
-                    inner = inner + _rollx_zero(a, ox, W, col)
-                    # x edge-fold: out-of-range mass onto the border lane.
-                    # The mass lives in exactly |ox| edge lanes — slice and
-                    # (for |ox| > 1) reduce those, instead of a masked
-                    # full-width reduction per term
-                    if ox < 0:
-                        lo = jax.lax.slice_in_dim(a, 0, -ox, axis=1)
-                        if -ox > 1:
-                            lo = jnp.sum(lo, axis=1, keepdims=True)
-                        inner = inner + jnp.where(col == 0, lo, 0.0)
-                    elif ox > 0:
-                        hi = jax.lax.slice_in_dim(a, W - ox, W, axis=1)
-                        if ox > 1:
-                            hi = jnp.sum(hi, axis=1, keepdims=True)
-                        inner = inner + jnp.where(col == W - 1, hi, 0.0)
-                # y shift: element y' takes inner(y' + P - oy)
-                rolled = pltpu.roll(inner, (-(P - oy)) % Hy, axis=0)
-                acc = acc + rolled[0:Hy_out, :]
-            return acc
+                wzy = wz * _tri(dyr - oy)
+                new = []
+                for c in range(C):
+                    b = wzy * gcs[c]
+                    inner = jnp.zeros((Hy, W), jnp.float32)
+                    for ix, ox in enumerate(offsets):
+                        a = wxs[ix] * b
+                        inner = inner + _rollx_zero(a, ox, W, col)
+                        # x edge-fold: the out-of-range mass lives in
+                        # exactly |ox| edge lanes — slice them instead of a
+                        # masked full-width reduction
+                        if ox < 0:
+                            lo = jax.lax.slice_in_dim(a, 0, -ox, axis=1)
+                            if -ox > 1:
+                                lo = jnp.sum(lo, axis=1, keepdims=True)
+                            inner = inner + jnp.where(col == 0, lo, 0.0)
+                        elif ox > 0:
+                            hi = jax.lax.slice_in_dim(a, W - ox, W, axis=1)
+                            if ox > 1:
+                                hi = jnp.sum(hi, axis=1, keepdims=True)
+                            inner = inner + jnp.where(col == W - 1, hi, 0.0)
+                    # y shift: element y' takes inner(y' + P - oy)
+                    rolled = pltpu.roll(inner, (-(P - oy)) % Hy, axis=0)
+                    new.append(accs[c] + rolled[0:Hy_out, :])
+                accs = tuple(new)
+            return accs
 
+        accs = tuple(jnp.zeros((Hy_out, W), jnp.float32) for _ in range(C))
         if R <= 2:
             for oz in offsets:
-                acc = accumulate(acc, oz, r + P - oz)
+                accs = accumulate(accs, oz, r + P - oz)
         else:
-            def body(k, acc):
+            def body(k, accs):
                 oz = k - R
-                return accumulate(acc, oz.astype(jnp.float32), r + P - oz)
+                return accumulate(accs, oz.astype(jnp.float32), r + P - oz)
 
-            acc = jax.lax.fori_loop(0, len(offsets), body, acc)
+            accs = jax.lax.fori_loop(0, len(offsets), body, accs)
 
-        out_ref[0, r] = acc
+        for c in range(C):
+            out_ref[c, r] = accs[c]
         return 0
 
     jax.lax.fori_loop(0, TZ, rbody, 0)
@@ -358,17 +372,19 @@ def _tblend_pallas(disp_vox, g, radius, interpret):
     out = pl.pallas_call(
         functools.partial(_tblend_kernel, R=R, C=C, TZ=TZ, Hy=Hy,
                           Hy_out=Hy_out, W=W),
-        grid=(C, Dz_out // TZ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, TZ, Hy_out, W), lambda c, i: (c, i, 0, 0),
+        grid=(Dz_out // TZ,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((C, TZ, Hy_out, W), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, Dz_out, Hy_out, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, TZ + 2 * P, Hy, W), jnp.float32),
+            pltpu.VMEM(((C + 3) * (TZ + 2 * P), Hy, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # C in-flight accumulators × (2R+1) x-terms: R=2 at 128³ needs ~73 MB
+        # of scoped stack (v5e VMEM is 128 MB)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x)
     out = out[:, :Dp_out, :Hp_out, :]
@@ -376,16 +392,16 @@ def _tblend_pallas(disp_vox, g, radius, interpret):
 
 
 def pallas_applicable(vol_shape, radius: int) -> bool:
-    """Kernel constraints: lane-aligned W, tileable z, bounded halo window."""
+    """Kernel constraints: lane-aligned W, tileable z, bounded halo windows
+    (C ≤ 4 on every call site)."""
     D, H, W = vol_shape[-3:]
     if W % 128 != 0 or W > 1024:
         return False
     if D % 8 != 0:
         return False
-    # the haloed z-window (TD+2P, H+2P, W) must stay a small VMEM resident
     P = radius + 1
-    window_bytes = (8 + 2 * P) * (H + 2 * P) * W * 4
-    return window_bytes < 4 * 1024 * 1024
+    window_bytes = 4 * (8 + 2 * P) * (H + 2 * P) * W * 4
+    return window_bytes < 16 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -421,20 +437,19 @@ def _warp_pallas(vol, disp_vox, radius, interpret):
     padded = jnp.pad(vol, [(0, 0), (P, P), (P, Hp - H - P), (0, 0)], mode="edge")
     padded = padded.reshape(C * Dp, Hp, W)
 
-    grid = (C, D // TD)
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, R=R, TD=TD, H=H, W=W),
-        grid=grid,
+        functools.partial(_warp_kernel, R=R, C=C, TD=TD, H=H, W=W),
+        grid=(D // TD,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded vol stays in HBM
-            pl.BlockSpec((3, TD, H, W), lambda c, i: (0, i, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),  # padded vol stays in HBM
+            pl.BlockSpec((3, TD, H, W), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TD, H, W), lambda c, i: (c, i, 0, 0),
+        out_specs=pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, D, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TD + 2 * P, Hp, W), jnp.float32),
+            pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
