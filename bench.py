@@ -10,9 +10,10 @@ Prints ONE JSON line:
                  experiment-1 configuration and its headline runtime metric
                  (trainer/trainer.py:467-476 "MCMC sampling speed").
 * vs_baseline  — speedup over the torch-CPU transition measured on this
-                 machine (scripts/torch_baseline.py, >=5 timed transitions
-                 with spread), cached in .bench_baseline.json — refresh
-                 with ``--refresh-baseline`` (the reference publishes no
+                 machine (scripts/torch_baseline.py: median over >=20 timed
+                 transitions after 3 warm-ups, rejected if IQR/median >
+                 0.2), cached in .bench_baseline.json — refresh with
+                 ``--refresh-baseline`` (the reference publishes no
                  numbers — BASELINE.md).
 * spread_rel   — (max-min)/mean across the repeated timed TPU chunks;
                  baseline_* fields carry the torch side's statistics.
@@ -44,7 +45,11 @@ BASELINE_CACHE = REPO / ".bench_baseline.json"
 def measure_torch_baseline(refresh: bool = False) -> dict:
     if BASELINE_CACHE.exists() and not refresh:
         cached = json.loads(BASELINE_CACHE.read_text())
-        if "samples_per_sec" in cached:
+        # the cache is stamped with its protocol: only a median anchor over
+        # >=20 timed transitions is acceptable (VERDICT r2 #4) — anything
+        # older re-measures
+        if ("samples_per_sec" in cached and "median_s" in cached
+                and cached.get("timed_transitions", 0) >= 20):
             return cached
     # run in a subprocess with jax plugins disabled so torch-CPU timing is clean
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
@@ -52,12 +57,17 @@ def measure_torch_baseline(refresh: bool = False) -> dict:
         [sys.executable, "-c",
          "import json; from scripts.torch_baseline import run_baseline; "
          "print(json.dumps(run_baseline()))"],
-        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=3600,
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=7200,
     )
     if out.returncode != 0:
         print(out.stderr[-2000:], file=sys.stderr)
         raise RuntimeError("torch baseline failed")
     stats = json.loads(out.stdout.strip().splitlines()[-1])
+    if stats["spread_rel"] > 0.2:
+        raise RuntimeError(
+            f"torch-CPU anchor too noisy: IQR/median = {stats['spread_rel']:.2f} "
+            f"> 0.20 over {stats['timed_transitions']} transitions — machine "
+            f"load is skewing the baseline; re-run when quiet")
     stats["dims"] = list(DIMS)
     BASELINE_CACHE.write_text(json.dumps(stats))
     return stats
@@ -157,6 +167,8 @@ def main(argv=None):
         "timed_chunks_s": tpu["per_chunk_s"],
         "baseline_samples_per_sec": round(baseline["samples_per_sec"], 5),
         "baseline_timed_transitions": baseline.get("timed_transitions"),
+        "baseline_median_s": baseline.get("median_s"),
+        "baseline_iqr_s": baseline.get("iqr_s"),
         "baseline_spread_rel": round(baseline.get("spread_rel", 0.0), 4),
     }))
 

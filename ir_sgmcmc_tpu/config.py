@@ -156,6 +156,9 @@ class Config:
             t_cfg["type"], dims, cps=t_cfg["args"].get("cps"),
             no_steps=t_cfg["args"].get("no_steps", 12),
             max_disp=t_cfg["args"].get("max_disp", 8),
+            use_gather=t_cfg["args"].get("use_gather", False),
+            taylor_threshold=t_cfg["args"].get("taylor_threshold", 0.5),
+            unroll=t_cfg["args"].get("unroll", False),
         )
 
         sob = cfg.get("Sobolev_grad", {"enabled": False})

@@ -108,5 +108,102 @@ def svf_pair(shape=(32, 32, 32), magnitude=4.0, seed=0):
     return fixed, moving, np.asarray(disp_gt)
 
 
+def _ellipsoid(shape, centre_frac, radii_frac):
+    """Boolean ellipsoid; centre/radii as fractions of the volume extent."""
+    zz, yy, xx = np.meshgrid(*(np.arange(s, dtype=np.float32) for s in shape),
+                             indexing="ij")
+    cz, cy, cx = (f * s for f, s in zip(centre_frac, shape))
+    rz, ry, rx = (max(f * s, 1.0) for f, s in zip(radii_frac, shape))
+    return (((zz - cz) / rz) ** 2 + ((yy - cy) / ry) ** 2
+            + ((xx - cx) / rx) ** 2) < 1.0
+
+
+# 15 subcortical structures with the reference's Biobank/FIRST label IDs
+# (/root/reference/parse_config.py:54-58, = utils.metrics.STRUCTURES).
+# Positions/radii are volume fractions (z, y, x); paired structures mirror
+# in x.  Loosely anatomical: midline thalami, C-shaped-ish caudate above,
+# putamen/pallidum lateral shells, hippocampus/amygdala inferior-posterior,
+# brainstem inferior-central.
+_BRAIN_LAYOUT = {
+    "brain_stem": (16, (0.28, 0.55, 0.50), (0.15, 0.08, 0.07)),
+    "left_thalamus": (10, (0.50, 0.55, 0.42), (0.09, 0.08, 0.065)),
+    "right_thalamus": (49, (0.50, 0.55, 0.58), (0.09, 0.08, 0.065)),
+    "left_caudate": (11, (0.58, 0.44, 0.40), (0.10, 0.055, 0.045)),
+    "right_caudate": (50, (0.58, 0.44, 0.60), (0.10, 0.055, 0.045)),
+    "left_putamen": (12, (0.52, 0.48, 0.32), (0.08, 0.065, 0.05)),
+    "right_putamen": (51, (0.52, 0.48, 0.68), (0.08, 0.065, 0.05)),
+    "left_pallidum": (13, (0.50, 0.50, 0.38), (0.05, 0.045, 0.035)),
+    "right_pallidum": (52, (0.50, 0.50, 0.62), (0.05, 0.045, 0.035)),
+    "left_hippocampus": (17, (0.40, 0.64, 0.36), (0.05, 0.085, 0.05)),
+    "right_hippocampus": (53, (0.40, 0.64, 0.64), (0.05, 0.085, 0.05)),
+    "left_amygdala": (18, (0.38, 0.52, 0.34), (0.045, 0.05, 0.045)),
+    "right_amygdala": (54, (0.38, 0.52, 0.66), (0.045, 0.05, 0.045)),
+    "left_accumbens": (26, (0.44, 0.42, 0.44), (0.04, 0.04, 0.032)),
+    "right_accumbens": (58, (0.44, 0.42, 0.56), (0.04, 0.04, 0.032)),
+}
+
+
+def brain_phantom_pair(shape=(64, 64, 64), magnitude=4.0, seed=0,
+                       spacing=(1.0, 1.1, 0.9)):
+    """Brain-like multi-label phantom pair deformed by a KNOWN smooth SVF.
+
+    Exercises the full 15-structure evaluation surface the reference runs
+    on Biobank data (/root/reference/parse_config.py:54-58 +
+    utils/util.py:123-206): per-structure Dice/ASD with anisotropic voxel
+    ``spacing``, a real brain mask (ellipsoidal, not all-ones), and
+    structure-wise intensity contrast under a shared multiplicative
+    texture.  The fixed volume is the moving volume warped by the
+    ground-truth diffeomorphism, so displacement error and per-voxel
+    uncertainty calibration stay measurable exactly as in
+    :func:`svf_pair` (VERDICT r2 #7).
+
+    :return: ``(fixed, moving, disp_gt, spacing, structures)`` where
+        ``structures`` is the ``{name: label}`` dict of the 15 reference
+        structures.
+    """
+    import jax.numpy as jnp
+
+    from ..models.transformation import SVF3D
+    from ..ops.resample import warp
+
+    shape = tuple(shape)
+    rng = np.random.default_rng(seed)
+
+    brain = _ellipsoid(shape, (0.52, 0.5, 0.5), (0.40, 0.44, 0.40))
+    seg = np.zeros(shape, np.int16)
+    im = np.where(brain, 0.45, 0.0).astype(np.float32)  # cortex/background
+    for i, (name, (label, centre, radii)) in enumerate(_BRAIN_LAYOUT.items()):
+        e = _ellipsoid(shape, centre, radii)
+        seg[e] = label
+        im[e] = 0.6 + 0.025 * i  # distinct grey level per structure
+
+    texture = rng.standard_normal(shape).astype(np.float32)
+    for _ in range(2):
+        for ax in range(3):
+            texture = (np.roll(texture, 1, ax) + texture
+                       + np.roll(texture, -1, ax)) / 3.0
+    im = im * (1.0 + 0.25 * texture) + 0.02 * rng.standard_normal(
+        shape).astype(np.float32)
+    moving = {"im": im.astype(np.float32), "mask": brain, "seg": seg}
+
+    v = rng.standard_normal((3,) + shape).astype(np.float32)
+    for _ in range(30):
+        for ax in (1, 2, 3):
+            v = (np.roll(v, 1, ax) + v + np.roll(v, -1, ax)) / 3.0
+    norm = np.sqrt((v**2).sum(axis=0))
+    v *= magnitude / max(float(norm.max()), 1e-6)
+
+    svf = SVF3D(shape, no_steps=12, use_gather=True)  # exact, unbounded
+    T_gt, disp_gt = svf(jnp.asarray(v))
+    fixed = {
+        "im": np.asarray(warp(jnp.asarray(moving["im"]), T_gt, method="linear")),
+        "mask": np.asarray(
+            warp(jnp.asarray(brain), T_gt, method="nearest")).astype(bool),
+        "seg": np.asarray(warp(jnp.asarray(seg), T_gt, method="nearest")),
+    }
+    structures = {name: spec[0] for name, spec in _BRAIN_LAYOUT.items()}
+    return fixed, moving, np.asarray(disp_gt), tuple(spacing), structures
+
+
 def to_device(pair, jnp):
     return {k: jnp.asarray(v) for k, v in pair.items()}

@@ -50,10 +50,13 @@ def count_folds(transformation: jnp.ndarray) -> jnp.ndarray:
     """Number of voxels where the transformation is non-diffeomorphic.
 
     Equivalent to the reference's NaN-count of log|J|
-    (utils/util.py:209-212) without materialising the log.
+    (utils/util.py:209-212) without materialising the log.  Boundary
+    semantics match the reference exactly: ``log(det)`` is NaN only for
+    *strictly negative* determinants (``log(0) = -inf``, which is not
+    NaN-counted), so the guard fires on ``det < 0``, not ``det <= 0``.
     """
     jac = gradient(transformation, normalised_spacing=True)
-    return jnp.sum(det_jacobian(jac) <= 0.0)
+    return jnp.sum(det_jacobian(jac) < 0.0)
 
 
 def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed, key):
@@ -115,7 +118,13 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
     max_disp = getattr(bundle.transformation, "max_disp", None)
     if max_disp is not None and not getattr(bundle.transformation, "use_gather", False):
         d = jax.lax.stop_gradient(displacement)
-        sat = jnp.sum(jnp.any(jnp.abs(d) >= float(max_disp), axis=0))
+        # The radius-1 composition scheme only clamps once the total
+        # displacement exceeds 2^ceil(log2(max_disp)) voxels (phase-2 warps
+        # clamp when |u_phi| > 1, i.e. |d| > no_compositions) — for
+        # non-power-of-two max_disp comparing against max_disp itself would
+        # count voxels that were never clamped (ADVICE r2).
+        clamp_bound = float(2 ** max(0, (int(max_disp) - 1).bit_length()))
+        sat = jnp.sum(jnp.any(jnp.abs(d) >= clamp_bound, axis=0))
     else:
         sat = jnp.zeros((), jnp.int32)
     return {

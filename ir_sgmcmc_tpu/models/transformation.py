@@ -58,11 +58,18 @@ class SVF3D:
     """
 
     def __init__(self, dims, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
-                 taylor_threshold: float = 0.5):
+                 taylor_threshold: float = 0.5, unroll: int | bool = False):
         self.dims = tuple(int(d) for d in dims)
         self.no_steps = int(no_steps)
         self.max_disp = int(max_disp)
         self.use_gather = bool(use_gather)
+        # scan unroll factor for the integration loops: reverse-mode AD
+        # through lax.scan stacks each step's residuals with
+        # dynamic-update-slices and reads them back with dynamic-slices —
+        # 13% of device time in the round-2 trace.  Unrolling turns the
+        # residuals into plain SSA buffers (no slicing traffic) at the cost
+        # of a longer compile; True = fully unroll.
+        self.unroll = unroll
         self.id_grid = identity_grid(self.dims)
         # split point: e squarings are replaced by 2^e one-sided compositions
         e = min(self.no_steps, max(0, (self.max_disp - 1).bit_length()))
@@ -121,13 +128,14 @@ class SVF3D:
                 return 2.0 * d + jnp.sum(J * d[None, :], axis=1), None
 
             disp, _ = jax.lax.scan(taylor_squaring, disp, None,
-                                   length=self.no_taylor)
+                                   length=self.no_taylor, unroll=self.unroll)
         if self.no_squarings - self.no_taylor:
             def squaring(d, _):
                 return d + warp_bounded(d, d, 1), None
 
             disp, _ = jax.lax.scan(squaring, disp, None,
-                                   length=self.no_squarings - self.no_taylor)
+                                   length=self.no_squarings - self.no_taylor,
+                                   unroll=self.unroll)
         u_phi = disp  # |u_phi| <= max_disp / 2^e <= 1 voxel by assumption
         N = self.no_compositions
 
@@ -137,7 +145,8 @@ class SVF3D:
                 def compose(d, _):
                     return u_phi + warp_bounded(d, u_phi, 1), None
 
-                disp, _ = jax.lax.scan(compose, u_phi, None, length=N - 1)
+                disp, _ = jax.lax.scan(compose, u_phi, None, length=N - 1,
+                                       unroll=self.unroll)
         else:
             g0 = im[None] if im.ndim == 3 else im
             g = warp_bounded(g0, u_phi, 1)  # g_1 = im ∘ φ
@@ -152,7 +161,7 @@ class SVF3D:
 
                 state0 = jnp.concatenate([u_phi, g], axis=0)
                 state, _ = jax.lax.scan(compose_im, state0, None,
-                                        length=N - 1)
+                                        length=N - 1, unroll=self.unroll)
                 disp, g = state[:3], state[3:]
             g = g[0] if im.ndim == 3 else g
         transformation = self.id_grid + voxel_to_normalised(disp)
@@ -248,11 +257,13 @@ class SVFFD3D:
     Reference: /root/reference/utils/transformation.py:156-164.
     """
 
-    def __init__(self, dims, cps, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False):
+    def __init__(self, dims, cps, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
+                 taylor_threshold: float = 0.5, unroll: int | bool = False):
         self.dims = tuple(int(d) for d in dims)
         self.cps = tuple(int(c) for c in cps)
         self.ffd = BSplineFFD3D(dims, cps)
-        self.svf = SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather)
+        self.svf = SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather,
+                         taylor_threshold=taylor_threshold, unroll=unroll)
         self.max_disp = self.svf.max_disp
         self.use_gather = self.svf.use_gather
         self.control_dims = self.ffd.control_dims
@@ -264,15 +275,18 @@ class SVFFD3D:
         return self.svf.integrate(self.ffd.dense_velocity(cp), im)
 
 
-def make_transformation(kind: str, dims, cps=None, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False):
+def make_transformation(kind: str, dims, cps=None, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
+                        taylor_threshold: float = 0.5, unroll: int | bool = False):
     """Factory used by the config layer (types mirror the reference names)."""
     if kind in ("SVF_3D", "SVF3D"):
-        return SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather)
+        return SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather,
+                     taylor_threshold=taylor_threshold, unroll=unroll)
     if kind in ("SVF_2D", "SVF2D"):
         return SVF2D(dims, no_steps)
     if kind in ("SVFFD_3D", "SVFFD3D"):
         assert cps is not None, "SVFFD requires control point spacing (cps)"
-        return SVFFD3D(dims, cps, no_steps, max_disp=max_disp, use_gather=use_gather)
+        return SVFFD3D(dims, cps, no_steps, max_disp=max_disp, use_gather=use_gather,
+                       taylor_threshold=taylor_threshold, unroll=unroll)
     if kind in ("Cubic_B_spline_FFD_3D", "BSplineFFD3D"):
         assert cps is not None
         return BSplineFFD3D(dims, cps)

@@ -53,16 +53,24 @@ def _shift_x_clamped(slab: jnp.ndarray, ox: int, W: int, col: jnp.ndarray):
 
 
 def _load_windows(src_hbm, window, sem, *, C, rows_src, rows_win, src0, win_rows):
-    """Sequential per-channel DMAs of haloed z-windows into one 3D scratch.
+    """Per-channel DMAs of haloed z-windows into one 3D scratch.
 
     Channel ``c``'s rows ``[src0(c), src0(c)+win_rows)`` of ``src_hbm``
-    land at scratch rows ``[c·win_rows, (c+1)·win_rows)``.
+    land at scratch rows ``[c·win_rows, (c+1)·win_rows)``.  All copies are
+    started before any is waited on so the up-to-7 window transfers (tblend
+    loads C+3 channels) overlap instead of serialising (ADVICE r2); they
+    share one DMA semaphore — each ``wait`` consumes exactly its own copy's
+    completion count.
     """
-    for c in range(C):
-        dma = pltpu.make_async_copy(
+    dmas = [
+        pltpu.make_async_copy(
             src_hbm.at[pl.ds(src0(c), win_rows)],
             window.at[pl.ds(c * win_rows, win_rows)], sem)
+        for c in range(C)
+    ]
+    for dma in dmas:
         dma.start()
+    for dma in dmas:
         dma.wait()
 
 
@@ -194,30 +202,34 @@ def _dgrad_kernel(vol_hbm, disp_ref, g_ref, out_ref, window, sem,
     jax.lax.fori_loop(0, TD, zbody, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+@functools.partial(jax.jit, static_argnames=("radius", "interpret", "z_halo"))
 def warp_bounded_dgrad_pallas(vol, disp_vox, g, radius: int,
-                              interpret: bool = False):
+                              interpret: bool = False, z_halo: bool = False):
     """Pallas displacement-gradient pass: returns dU/d(disp) given cotangent
-    ``g`` (saturation masking of the clip is applied by the caller)."""
+    ``g`` (saturation masking of the clip is applied by the caller).
+    ``z_halo=True``: ``vol`` already carries ``R`` halo rows per side in z
+    (spatially-sharded call sites, parallel/halo.py)."""
     @jax.custom_batching.sequential_vmap
     def call(vol, disp_vox, g):
-        return _dgrad_pallas(vol, disp_vox, g, radius, interpret)
+        return _dgrad_pallas(vol, disp_vox, g, radius, interpret, z_halo)
 
     return call(vol, disp_vox, g)
 
 
-def _dgrad_pallas(vol, disp_vox, g, radius, interpret):
+def _dgrad_pallas(vol, disp_vox, g, radius, interpret, z_halo=False):
     R = int(radius)
     P = R
     if vol.ndim == 3:
         vol = vol[None]
         g = g[None]
-    C, D, H, W = vol.shape
+    C = vol.shape[0]
+    D, H, W = disp_vox.shape[-3:]
     TD = 8 if D % 8 == 0 else D
 
     Hp = H + 2 * P + (-(H + 2 * P)) % 8
     Dp = D + 2 * P
-    padded = jnp.pad(vol, [(0, 0), (P, P), (P, Hp - H - P), (0, 0)], mode="edge")
+    zpad = (0, 0) if z_halo else (P, P)
+    padded = jnp.pad(vol, [(0, 0), zpad, (P, Hp - H - P), (0, 0)], mode="edge")
     padded = padded.reshape(C * Dp, Hp, W)
 
     return pl.pallas_call(
@@ -404,37 +416,40 @@ def pallas_applicable(vol_shape, radius: int) -> bool:
     return window_bytes < 16 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+@functools.partial(jax.jit, static_argnames=("radius", "interpret", "z_halo"))
 def warp_bounded_pallas(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False, z_halo: bool = False) -> jnp.ndarray:
     """Pallas forward of the bounded trilinear warp (same contract as
     ``ops.resample.warp_bounded``): ``vol (C?, D, H, W)``, ``disp (3, D, H, W)``.
 
     vmap (the chain axis) lowers to a sequential per-chain loop — the kernel
     already saturates the chip, so batching buys nothing and ANY-space HBM
-    operands cannot be block-batched.
+    operands cannot be block-batched.  ``z_halo=True``: ``vol`` comes with
+    ``R`` halo rows per side in z already (sharded call sites).
     """
     @jax.custom_batching.sequential_vmap
     def call(vol, disp_vox):
-        return _warp_pallas(vol, disp_vox, radius, interpret)
+        return _warp_pallas(vol, disp_vox, radius, interpret, z_halo)
 
     return call(vol, disp_vox)
 
 
-def _warp_pallas(vol, disp_vox, radius, interpret):
+def _warp_pallas(vol, disp_vox, radius, interpret, z_halo=False):
     R = int(radius)
     P = R
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[None]
-    C, D, H, W = vol.shape
+    C = vol.shape[0]
+    D, H, W = disp_vox.shape[-3:]
     TD = 8 if D % 8 == 0 else D
 
     # sublane (y) extent of the DMA window must be 8-aligned or the DMA
     # faults the TPU worker — pad the high side up to a multiple of 8
     Hp = H + 2 * P + (-(H + 2 * P)) % 8
     Dp = D + 2 * P
-    padded = jnp.pad(vol, [(0, 0), (P, P), (P, Hp - H - P), (0, 0)], mode="edge")
+    zpad = (0, 0) if z_halo else (P, P)
+    padded = jnp.pad(vol, [(0, 0), zpad, (P, Hp - H - P), (0, 0)], mode="edge")
     padded = padded.reshape(C * Dp, Hp, W)
 
     out = pl.pallas_call(

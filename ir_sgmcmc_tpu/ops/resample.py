@@ -266,16 +266,26 @@ def _dtri(t):
 
 
 def _fold_edge(gp: jnp.ndarray, P: int, axes=(-3, -2, -1)) -> jnp.ndarray:
-    """Transpose of ``jnp.pad(mode='edge')``: sum pad slabs onto the borders."""
+    """Transpose of ``jnp.pad(mode='edge')``: sum pad slabs onto the borders.
+
+    Written as slice + zero-pad + add (NOT a concatenate of border/mid
+    pieces): XLA fuses either form on one device, but under GSPMD a
+    spatially-sharded concatenate falls back to a full-axis all-gather,
+    while pads partition with O(halo) collectives (observed in the
+    compiled-HLO audit, tests/test_parallel.py)."""
     for axis in axes:
         n = gp.shape[axis] - 2 * P
+        ax = axis % gp.ndim
         lo = jax.lax.slice_in_dim(gp, 0, P, axis=axis).sum(axis=axis, keepdims=True)
         core = jax.lax.slice_in_dim(gp, P, P + n, axis=axis)
         hi = jax.lax.slice_in_dim(gp, P + n, 2 * P + n, axis=axis).sum(axis=axis, keepdims=True)
-        first = jax.lax.slice_in_dim(core, 0, 1, axis=axis) + lo
-        mid = jax.lax.slice_in_dim(core, 1, n - 1, axis=axis)
-        last = jax.lax.slice_in_dim(core, n - 1, n, axis=axis) + hi
-        gp = jnp.concatenate([first, mid, last], axis=axis)
+        cfg_lo = [(0, 0, 0)] * gp.ndim
+        cfg_lo[ax] = (0, n - 1, 0)
+        cfg_hi = [(0, 0, 0)] * gp.ndim
+        cfg_hi[ax] = (n - 1, 0, 0)
+        zero = jnp.zeros((), gp.dtype)
+        gp = (core + jax.lax.pad(lo, zero, cfg_lo)
+              + jax.lax.pad(hi, zero, cfg_hi))
     return gp
 
 
@@ -297,14 +307,19 @@ def _warp_bounded_bwd_impl(vol, disp_vox, radius, g):
     return g_vol, g_disp
 
 
-def _bwd_dgrads_xla(vol, disp_vox, R, g):
-    """Pass 1: gradients w.r.t. the displacement channels."""
+def _bwd_dgrads_xla(vol, disp_vox, R, g, z_halo: bool = False):
+    """Pass 1: gradients w.r.t. the displacement channels.
+
+    ``z_halo=True`` means ``vol`` already carries ``R`` rows of halo on each
+    side of the D axis (spatially-sharded call sites exchange real neighbour
+    rows instead of replicate-padding — parallel/halo.py)."""
     P = R
-    D, H, W = vol.shape[-3:]
+    D, H, W = disp_vox.shape[-3:]
     lead = vol.ndim - 3  # 0 (scalar volume) or 1 (channel axis)
     d = jnp.clip(disp_vox, -R, R)
     dx, dy, dz = d[0], d[1], d[2]
-    padded = jnp.pad(vol, [(0, 0)] * lead + [(P, P)] * 3, mode="edge")
+    zpad = (0, 0) if z_halo else (P, P)
+    padded = jnp.pad(vol, [(0, 0)] * lead + [zpad, (P, P), (P, P)], mode="edge")
     offsets = list(range(-R, R + 1))
     n_off = len(offsets)
 
@@ -345,14 +360,22 @@ def _bwd_dgrads_xla(vol, disp_vox, R, g):
 
 
 def _bwd_tblend_xla(vol, disp_vox, R, g):
-    """Pass 2: gradient w.r.t. the volume (transpose blend).
+    """Pass 2: gradient w.r.t. the volume (transpose blend)."""
+    return _fold_edge(_tblend_acc_xla(disp_vox, R, g), R)
+
+
+def _tblend_acc_xla(disp_vox, R, g):
+    """Unfolded transpose blend: the padded gradient accumulator
+    ``(..., D+2P, H+2P, W+2P)`` before the replicate-pad transpose fold.
 
     g_padded(r) = Σ_o (w_o ⊙ g)(r − P − o); with X = zeropad_{2P}(·), the
     term re-indexes as X(w_o ⊙ g)(r + P − o) — a slice at start P−o ≥ 0.
+    Exposed unfolded so spatially-sharded callers (parallel/halo.py) can
+    fold x/y locally and resolve the z pad rows via neighbour exchange.
     """
     P = R
-    D, H, W = vol.shape[-3:]
-    lead = vol.ndim - 3
+    D, H, W = disp_vox.shape[-3:]
+    lead = g.ndim - 3
     d = jnp.clip(disp_vox, -R, R)
     dx, dy, dz = d[0], d[1], d[2]
     offsets = list(range(-R, R + 1))
@@ -394,7 +417,7 @@ def _bwd_tblend_xla(vol, disp_vox, R, g):
             return t_blend(acc, i - R)
 
         acc = jax.lax.fori_loop(0, n_off, tbody, acc0)
-    return _fold_edge(acc, P)
+    return acc
 
 
 def _use_pallas(vol_shape, radius: int) -> bool:

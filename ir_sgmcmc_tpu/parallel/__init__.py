@@ -5,6 +5,7 @@ from .mesh import (
     shard_chain_state,
     shard_images_spatial,
     shard_state_spatial,
+    shard_tree_spatial,
 )
 
 __all__ = [
@@ -12,6 +13,7 @@ __all__ = [
     "shard_chain_state",
     "shard_state_spatial",
     "shard_images_spatial",
+    "shard_tree_spatial",
     "replicate",
     "separable_conv3d_sharded",
     "gradient_d_sharded",

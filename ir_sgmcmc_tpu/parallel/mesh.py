@@ -90,6 +90,26 @@ def shard_state_spatial(state, mesh: Mesh, no_chains: int, field_depth: int):
     return jax.tree.map(place, state)
 
 
+def shard_tree_spatial(tree, mesh: Mesh, field_depth: int,
+                       axis_name: str = "space"):
+    """Spatial-only placement of an arbitrary state pytree (no chain axis —
+    the VI phase, reference trainer.py:119-223, is batch-1): every leaf
+    ``(..., D, H, W)`` with ``D == field_depth`` shards along D over
+    ``axis_name`` (this covers q(v) params AND their Adam moments, which
+    mirror the param shapes); everything else replicates."""
+    n_space = mesh.shape[axis_name]
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 3 and x.shape[-3] == field_depth and field_depth % n_space == 0:
+            spec = P(*([None] * (x.ndim - 3)), axis_name, None, None)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)
+
+
 def shard_images_spatial(tree, mesh: Mesh, field_depth: int):
     """Place an image-pair dict: ``(..., D, H, W)`` volumes shard along D
     over ``'space'`` (replicated over ``'chain'``); the rest replicate."""

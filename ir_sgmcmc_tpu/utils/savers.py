@@ -4,10 +4,21 @@ Host-side equivalents of /root/reference/logger/logger.py:110-238: fixed and
 moving images/masks, per-sample warped images + displacements + log|J|
 (``chain_i_sample_%07d_*`` naming), the variational-posterior mean, and
 masked/unmasked displacement mean / std-dev uncertainty maps.
+
+Artifact dumps run on a single background writer thread (``submit`` /
+``flush``): the device→host fetch of ~45 MB/chain of sample volumes was the
+dominant per-period host cost at 128³ over the ~10 MB/s axon tunnel, and the
+main loop only needs to *dispatch* the save, not wait for the bytes.  The
+worker performs the fetch (device buffers passed in are never donated — the
+trainer snapshots donation-exposed state first), so the main thread returns
+to driving device chunks immediately.
 """
 
 from __future__ import annotations
 
+import logging
+import queue
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -15,9 +26,64 @@ import numpy as np
 from .nifti import write_nifti
 from .vtk_io import write_vtk_field
 
+_log = logging.getLogger(__name__)
+
 
 def _np(x):
-    return np.asarray(x)
+    x = np.asarray(x)
+    # visualisation artifacts may arrive as float16 (halved tunnel bytes);
+    # writers expect float32
+    return x.astype(np.float32) if x.dtype == np.float16 else x
+
+
+class _Writer:
+    """One background thread draining a queue of save closures."""
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+
+    def _ensure(self):
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._run, name="artifact-writer", daemon=True)
+                self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except Exception:  # never kill the writer on one bad artifact
+                _log.exception("artifact save failed")
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn):
+        self._ensure()
+        self._q.put(fn)
+
+    def flush(self):
+        """Block until every queued save has been written."""
+        self._q.join()
+
+
+_WRITER = _Writer()
+
+
+def submit(fn) -> None:
+    """Queue ``fn()`` on the background artifact-writer thread."""
+    _WRITER.submit(fn)
+
+
+def flush() -> None:
+    """Wait for all queued artifact writes (phase boundaries, test exits)."""
+    _WRITER.flush()
 
 
 def _im_path(save_dirs, name):

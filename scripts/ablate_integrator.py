@@ -1,0 +1,92 @@
+"""Seed-replicated ablation of the SVF integrator stages (VERDICT r2 #1).
+
+Runs the canonical 128³ quality protocol (scripts/quality_eval.py) for each
+integrator stage over several trainer seeds (GT deformation fixed), in
+fresh subprocesses, appending one JSON line per run to the output file:
+
+* ``gather``  — reference-exact grid_sample scaling-and-squaring
+  (/root/reference/utils/transformation.py:63-76, the integration the
+  posterior quality is judged against);
+* ``warp``    — radius-1 blend squarings + one-sided compositions
+  (``taylor_threshold=0``);
+* ``taylor``  — default: sub-voxel squarings in second-order Taylor form.
+
+Usage:
+    python scripts/ablate_integrator.py --out ablation.jsonl \
+        [--seeds 0 1 2] [--stages taylor warp gather] [--dims 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+STAGES = {
+    "taylor": [],
+    "warp": ["--taylor-threshold", "0"],
+    "gather": ["--use-gather"],
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="ablation.jsonl")
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--stages", nargs="+", default=["taylor", "warp", "gather"],
+                   choices=list(STAGES))
+    p.add_argument("--dims", type=int, default=128)
+    p.add_argument("--magnitude", type=float, default=6.0)
+    p.add_argument("--vi-iters", type=int, default=384)
+    p.add_argument("--burn-in", type=int, default=300)
+    p.add_argument("--samples", type=int, default=700)
+    args = p.parse_args(argv)
+
+    out_path = Path(args.out)
+    done = set()
+    if out_path.exists():
+        for line in out_path.read_text().splitlines():
+            try:
+                r = json.loads(line)
+                if not r.get("error"):
+                    done.add((r["stage"], r["trainer_seed"]))
+            except (json.JSONDecodeError, KeyError):
+                pass
+
+    for stage in args.stages:
+        for seed in args.seeds:
+            if (stage, seed) in done:
+                print(f"skip {stage} seed {seed} (already in {out_path})",
+                      file=sys.stderr)
+                continue
+            cmd = [
+                sys.executable, "scripts/quality_eval.py",
+                "--dims", str(args.dims), "--magnitude", str(args.magnitude),
+                "--vi-iters", str(args.vi_iters),
+                "--burn-in", str(args.burn_in),
+                "--samples", str(args.samples),
+                "--seed", "0", "--trainer-seed", str(seed),
+            ] + STAGES[stage]
+            t0 = time.time()
+            print(f"== {stage} seed {seed}: {' '.join(cmd)}", file=sys.stderr)
+            proc = subprocess.run(cmd, cwd=str(REPO), capture_output=True,
+                                  text=True, timeout=7200)
+            if proc.returncode != 0:
+                rec = {"stage": stage, "trainer_seed": seed, "error": True,
+                       "stderr_tail": proc.stderr[-1500:]}
+            else:
+                rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                rec["stage"] = stage
+            rec["wall_s"] = round(time.time() - t0, 1)
+            with out_path.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,24 +59,51 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=150)
     p.add_argument("--chains", type=int, default=2)
     p.add_argument("--max-disp", type=int, default=8)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0,
+                   help="GT-deformation seed (and trainer seed unless "
+                        "--trainer-seed is given)")
+    p.add_argument("--trainer-seed", type=int, default=None,
+                   help="trainer RNG seed, decoupled from the GT seed so "
+                        "seed-replication varies only the inference noise")
+    p.add_argument("--taylor-threshold", type=float, default=0.5,
+                   help="SVF integrator: max |u| (voxels) for Taylor-form "
+                        "squarings; 0 disables Taylor (all squarings warp)")
+    p.add_argument("--use-gather", action="store_true",
+                   help="SVF integrator: reference-exact gather-based "
+                        "squaring (grid_sample self-composition)")
+    p.add_argument("--phantom", choices=["sphere", "brain"], default="sphere",
+                   help="'brain' = 15-structure anisotropic-spacing phantom "
+                        "(the reference's Biobank evaluation surface, "
+                        "parse_config.py:54-58); per-structure Dice/ASD "
+                        "rows are added to the report")
     p.add_argument("--out-dir", default=None)
     args = p.parse_args(argv)
 
     from ir_sgmcmc_tpu.config import Config
-    from ir_sgmcmc_tpu.data.synthetic import svf_pair
+    from ir_sgmcmc_tpu.data.synthetic import brain_phantom_pair, svf_pair
     from ir_sgmcmc_tpu.trainer import Trainer
     from ir_sgmcmc_tpu.utils.vtk_io import read_vtk_field
 
     dims = (args.dims,) * 3
-    fixed, moving, disp_gt = svf_pair(dims, magnitude=args.magnitude,
-                                      seed=args.seed)
+    spacing = (1.0, 1.0, 1.0)
+    structures = {"sphere": 1}
+    if args.phantom == "brain":
+        fixed, moving, disp_gt, spacing, structures = brain_phantom_pair(
+            dims, magnitude=args.magnitude, seed=args.seed)
+    else:
+        fixed, moving, disp_gt = svf_pair(dims, magnitude=args.magnitude,
+                                          seed=args.seed)
 
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="quality_eval_")
     cfg = json.loads((Path(__file__).resolve().parent.parent
                       / "configs/demo/config_synthetic.json").read_text())
     cfg["data_loader"]["args"]["dims"] = list(dims)
-    cfg["transformation_module"]["args"] = {"max_disp": args.max_disp}
+    cfg["transformation_module"]["args"] = {
+        "max_disp": args.max_disp,
+        "taylor_threshold": args.taylor_threshold,
+        "use_gather": args.use_gather,
+    }
+    trainer_seed = args.seed if args.trainer_seed is None else args.trainer_seed
     cfg["trainer"].update(
         save_dir=out_dir,
         VI=True, MCMC=True, MCMC_init="VI",
@@ -89,7 +116,7 @@ def main(argv=None):
         log_period_MCMC=max(25, (args.burn_in + args.samples) // 8),
         speed_test_iters=10,
         tensorboard=False,
-        seed=args.seed,
+        seed=trainer_seed,
     )
     config = Config(cfg, run_id="quality")
 
@@ -100,7 +127,8 @@ def main(argv=None):
                            2.0 * np.log(la["sigma_v_init"]), np.float32),
         "u": np.full((3,) + dims, la["u_v_init"], np.float32),
     }
-    ds = _PairDataset(fixed, moving, q_v0, {"sphere": 1})
+    ds = _PairDataset(fixed, moving, q_v0, structures)
+    ds.im_spacing = spacing
     trainer = Trainer(config, dataset=ds)
     summary = trainer.run()[0]
 
@@ -121,6 +149,11 @@ def main(argv=None):
 
     report = {
         "dims": args.dims,
+        "phantom": args.phantom,
+        "seed": args.seed,
+        "trainer_seed": trainer_seed,
+        "taylor_threshold": args.taylor_threshold,
+        "use_gather": args.use_gather,
         "gt_peak_disp_vox": round(float(gt_mag.max()), 3),
         "dsc_before": round(summary.get("dsc_before", float("nan")), 4),
         "dsc_vi": round(summary.get("vi_test_mean_dsc", float("nan")), 4),
@@ -135,6 +168,31 @@ def main(argv=None):
         "aborted": summary.get("mcmc_aborted"),
         "run_dir": str(config.dir),
     }
+    if args.phantom == "brain":
+        # per-structure Dice/ASD of the posterior-mean registration —
+        # the table the reference produces per Biobank run
+        # (utils/util.py:123-206)
+        import jax.numpy as jnp
+
+        from ir_sgmcmc_tpu.ops.grids import identity_grid, voxel_to_normalised
+        from ir_sgmcmc_tpu.ops.resample import warp
+        from ir_sgmcmc_tpu.utils.metrics import calc_metrics
+
+        T_mean = identity_grid(dims) + voxel_to_normalised(jnp.asarray(mean))
+        seg_w = np.asarray(warp(jnp.asarray(moving["seg"]), T_mean,
+                                method="nearest"))
+        asd, dsc = calc_metrics(fixed["seg"], seg_w, structures, spacing)
+        asd0, dsc0 = calc_metrics(fixed["seg"], moving["seg"], structures,
+                                  spacing)
+        report["per_structure"] = {
+            name: {"dsc_before": round(float(dsc0[0][i]), 4),
+                   "dsc": round(float(dsc[0][i]), 4),
+                   "asd_before": round(float(asd0[0][i]), 3),
+                   "asd": round(float(asd[0][i]), 3)}
+            for i, name in enumerate(structures)
+        }
+        report["mean_asd"] = round(float(np.mean(asd[0][np.isfinite(asd[0])])), 3)
+
     print(json.dumps(report))
     return report
 

@@ -114,7 +114,7 @@ def reg_energy(v):
     return sum((d**2).sum() for d in (dx, dy, dz))
 
 
-def run_baseline(dims=(128, 128, 128), chains=2, warmup=1, timed=5, sgld_steps=1):
+def run_baseline(dims=(128, 128, 128), chains=2, warmup=3, timed=20, sgld_steps=1):
     torch.manual_seed(0)
     torch.set_num_threads(torch.get_num_threads())
 
@@ -172,13 +172,23 @@ def run_baseline(dims=(128, 128, 128), chains=2, warmup=1, timed=5, sgld_steps=1
         t0 = time.perf_counter()
         v = transition(v)
         times.append(time.perf_counter() - t0)
+    # median + IQR: early-run allocator noise made small-sample mean anchors
+    # swing ±2× (round-2's 5-transition anchor had (max−min)/mean = 157%);
+    # the headline multiplier divides by the median per-transition time
+    med = float(np.median(times))
+    q1, q3 = (float(q) for q in np.percentile(times, [25, 75]))
     total = sum(times)
     mean = total / timed
     return {
-        "samples_per_sec": chains * timed / total,
+        "samples_per_sec": chains / med,
+        "samples_per_sec_mean": chains * timed / total,
         "timed_transitions": timed,
+        "warmup_transitions": warmup,
         "per_transition_s": [round(t, 3) for t in times],
-        "spread_rel": (max(times) - min(times)) / mean,
+        "median_s": round(med, 3),
+        "iqr_s": round(q3 - q1, 3),
+        "spread_rel": (q3 - q1) / med,
+        "minmax_spread_rel": (max(times) - min(times)) / mean,
         "std_rel": (sum((t - mean) ** 2 for t in times) / timed) ** 0.5 / mean,
     }
 

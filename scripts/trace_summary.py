@@ -13,7 +13,14 @@ Parses the Perfetto/Chrome-trace JSON the profiler writes under
   wrap their bodies), so flat sums double-count parents;
 * Pallas custom-calls attributed to their ``source`` file:line (all
   ``closed_call``s look alike otherwise);
-* trailing ``.NN`` instance suffixes folded together.
+* trailing ``.NN`` instance suffixes folded together;
+* ROOFLINE columns (VERDICT r2 #5): the profiler reports
+  ``bytes_accessed`` per op, so each row shows achieved HBM bandwidth and
+  its share of the chip's speed-of-light (``--peak-gbs``, default 819 —
+  v5e).  Rows near 100% are memory-bound at the hardware limit; rows far
+  below are either compute-bound or wasting traffic.  Bytes are
+  attributed to leaf events only (wrappers like ``while`` re-report their
+  bodies' bytes).
 """
 
 from __future__ import annotations
@@ -39,9 +46,29 @@ def load_events(trace_dir: Path):
         yield f, data.get("traceEvents", [])
 
 
-def summarise(trace_dir: Path, top: int = 25):
+_DT_BYTES = {"f32": 4, "s32": 4, "u32": 4, "f16": 2, "bf16": 2, "f64": 8,
+             "s64": 8, "u64": 8, "pred": 1, "u8": 1, "s8": 1, "s16": 2,
+             "u16": 2}
+
+
+def _bytes_from_long_name(long_name: str) -> float:
+    total = 0.0
+    for m in re.finditer(r"\b([a-z]+\d*)\[([\d,]*)\]", long_name):
+        dt = _DT_BYTES.get(m.group(1))
+        if dt is None:
+            continue
+        n = 1
+        for s in m.group(2).split(","):
+            if s:
+                n *= int(s)
+        total += dt * n
+    return total
+
+
+def summarise(trace_dir: Path, top: int = 25, peak_gbs: float = 819.0):
     self_t = defaultdict(float)
     count = defaultdict(int)
+    bytes_acc = defaultdict(float)
     total = 0.0
     for _, events in load_events(trace_dir):
         # device op tracks only
@@ -76,14 +103,32 @@ def summarise(trace_dir: Path, top: int = 25):
                 self_t[name] += st
                 count[name] += 1
                 total += st
+                if child[id(e)] == 0:  # leaf: bytes not re-reported below
+                    try:
+                        by = float(e.get("args", {}).get("bytes_accessed", 0))
+                    except (TypeError, ValueError):
+                        by = 0.0
+                    if by == 0.0:
+                        # custom-calls (Pallas) report no stats: sum the
+                        # result + operand shapes from the HLO long_name —
+                        # the kernel's algorithmic read+write traffic
+                        by = _bytes_from_long_name(
+                            e.get("args", {}).get("long_name", ""))
+                    bytes_acc[name] += by
 
     rows = sorted(self_t.items(), key=lambda kv: -kv[1])[:top]
     width = max((len(n) for n, _ in rows), default=4)
-    print(f"device self-time total: {total / 1e3:.1f} ms")
-    print(f"{'op':<{width}}  {'total_ms':>10}  {'share':>6}  {'calls':>7}  {'mean_us':>10}")
+    print(f"device self-time total: {total / 1e3:.1f} ms   "
+          f"(roofline vs {peak_gbs:.0f} GB/s HBM)")
+    print(f"{'op':<{width}}  {'total_ms':>10}  {'share':>6}  {'calls':>7}  "
+          f"{'mean_us':>10}  {'MB_moved':>9}  {'GB/s':>7}  {'%SoL':>5}")
     for name, t in rows:
+        by = bytes_acc[name]
+        gbs = by / (t * 1e-6) / 1e9 if t > 0 else 0.0
+        sol = 100.0 * gbs / peak_gbs
         print(f"{name:<{width}}  {t / 1e3:>10.3f}  {100 * t / total:>5.1f}%  "
-              f"{count[name]:>7}  {t / max(count[name], 1):>10.1f}")
+              f"{count[name]:>7}  {t / max(count[name], 1):>10.1f}  "
+              f"{by / 1e6:>9.1f}  {gbs:>7.1f}  {sol:>5.1f}")
     return rows
 
 
@@ -91,8 +136,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("trace_dir", type=Path)
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--peak-gbs", type=float, default=819.0,
+                   help="HBM speed-of-light for the roofline column "
+                        "(819 GB/s = TPU v5e)")
     args = p.parse_args(argv)
-    summarise(args.trace_dir, args.top)
+    summarise(args.trace_dir, args.top, args.peak_gbs)
 
 
 if __name__ == "__main__":
