@@ -378,6 +378,7 @@ def make_mcmc_chunk(
     burn_in: int,
     thin: int,
     param_mode: str = "per_chain",
+    chain_mesh=None,
 ):
     """Scan ``chunk`` SGLD transitions over all chains on device.
 
@@ -388,6 +389,17 @@ def make_mcmc_chunk(
     ``param_mode``: ``'per_chain'`` (engine default — independent GMM/reg
     per chain, embarrassingly parallel) or ``'shared'`` (exact reference
     semantics — one parameter set, sequential per-chain GMM updates).
+
+    ``chain_mesh``: a ``Mesh(('chain',))`` to run the vmapped transition
+    under an explicit ``shard_map`` — each device executes the transition
+    on its LOCAL chains only.  Without it, chain-sharded inputs still
+    compute correctly under the GSPMD partitioner, but a ``pallas_call``
+    has no sharding rule there: the partitioner falls back to all-gathering
+    the full chain-stacked operands around every kernel (measured on the
+    virtual mesh: 8x-volume all-gathers per warp — replication, not
+    parallelism).  Under shard_map the chains are manual and the kernels
+    run on local blocks, with zero cross-chain collectives (the transition
+    is embarrassingly parallel).
     """
     if param_mode == "shared":
         vtransition = make_sgld_transition_shared(
@@ -396,6 +408,21 @@ def make_mcmc_chunk(
     else:
         transition = make_sgld_transition(bundle, opt_gmm, opt_reg, tau, fixed, moving)
         vtransition = jax.vmap(transition, in_axes=(0, None))
+        if chain_mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec
+
+            # every state leaf and every metric is chain-major, so one
+            # P('chain') spec serves as the pytree prefix for all of them;
+            # check_vma off: pallas_call output ShapeDtypeStructs carry no
+            # variance annotation
+            vtransition = shard_map(
+                vtransition,
+                mesh=chain_mesh,
+                in_specs=(PartitionSpec("chain"), PartitionSpec()),
+                out_specs=PartitionSpec("chain"),
+                check_vma=False,
+            )
 
     def body(state: MCMCState, _):
         step = state.step + 1

@@ -420,20 +420,42 @@ def _tblend_acc_xla(disp_vox, R, g):
     return acc
 
 
-def _use_pallas(vol_shape, radius: int) -> bool:
-    """Dispatch to the Pallas kernel on TPU for kernel-compatible shapes."""
-    if jax.default_backend() != "tpu":
-        return False
+# Pallas dispatch override: None = backend default (TPU + compatible
+# shapes), False = force the XLA blend (the trainer sets this while
+# building a spatially-sharded step — GSPMD cannot partition a
+# pallas_call, while the XLA blend partitions with O(halo) collectives,
+# see tests/test_parallel.py's compiled-HLO audit), "interpret" = force
+# the kernels in interpreter mode (CPU-mesh validation of the exact
+# TPU-dispatch graph).  Trace-time state: set it before the jit traces.
+_PALLAS_OVERRIDE = None
+
+
+def set_pallas_mode(mode) -> None:
+    """``None`` (auto), ``False`` (XLA blend), or ``"interpret"``."""
+    global _PALLAS_OVERRIDE
+    _PALLAS_OVERRIDE = mode
+
+
+def _use_pallas(vol_shape, radius: int):
+    """Pallas dispatch decision: False, True (TPU), or "interpret"."""
     from .pallas_warp import pallas_applicable
 
-    return pallas_applicable(vol_shape, radius)
+    if _PALLAS_OVERRIDE is False:
+        return False
+    if not pallas_applicable(vol_shape, radius):
+        return False
+    if _PALLAS_OVERRIDE == "interpret":
+        return "interpret"
+    return jax.default_backend() == "tpu"
 
 
 def _warp_fwd_dispatch(vol, disp_vox, radius):
-    if _use_pallas(vol.shape, radius):
+    mode = _use_pallas(vol.shape, radius)
+    if mode:
         from .pallas_warp import warp_bounded_pallas
 
-        return warp_bounded_pallas(vol, disp_vox, radius)
+        return warp_bounded_pallas(vol, disp_vox, radius,
+                                   interpret=mode == "interpret")
     return _warp_bounded_impl(vol, disp_vox, radius)
 
 
@@ -451,14 +473,18 @@ def _wb_fwd(vol, disp_vox, radius):
 
 def _wb_bwd(radius, residuals, g):
     vol, disp_vox = residuals
-    if _use_pallas(vol.shape, radius):
+    mode = _use_pallas(vol.shape, radius)
+    if mode:
         from .pallas_warp import warp_bounded_dgrad_pallas, warp_bounded_tblend_pallas
 
         R = int(radius)
-        g_disp = warp_bounded_dgrad_pallas(vol, disp_vox, g, R)
+        interpret = mode == "interpret"
+        g_disp = warp_bounded_dgrad_pallas(vol, disp_vox, g, R,
+                                           interpret=interpret)
         g_disp = jnp.where(jnp.abs(disp_vox) <= R, g_disp, 0.0)
-        g_vol = _fold_edge(warp_bounded_tblend_pallas(disp_vox, g, R), R,
-                           axes=(-3, -2))
+        g_vol = _fold_edge(
+            warp_bounded_tblend_pallas(disp_vox, g, R, interpret=interpret),
+            R, axes=(-3, -2))
         return g_vol, g_disp
     return _warp_bounded_bwd_impl(vol, disp_vox, radius, g)
 

@@ -340,6 +340,19 @@ class Trainer:
                 self.logger.info("distributing VI over %d spatial shards",
                                  spatial)
 
+        if self._vi_mesh is not None:
+            # GSPMD-partitioned phase: keep pallas_calls out of the traced
+            # graphs (no sharding rule; see the MCMC-phase note)
+            from .ops import resample
+
+            resample.set_pallas_mode(False)
+        try:
+            return self._run_vi_loop(fixed, moving, state, start)
+        finally:
+            if self._vi_mesh is not None:
+                resample.set_pallas_mode(None)
+
+    def _run_vi_loop(self, fixed, moving, state: VIState, start: int) -> VIState:
         step_fn = make_vi_step(self.bundle, self.opt_q_v, self.opt_gmm,
                                self.opt_reg, fixed, moving)
         eval_fn = self._make_eval(fixed, moving)
@@ -442,7 +455,19 @@ class Trainer:
 
         @jax.jit
         def eval_batch(keys):
-            return jax.vmap(lambda k: eval_fn(sample_q_v(k, q_v_t)))(keys)
+            if draw_sharding is None:
+                return jax.vmap(lambda k: eval_fn(sample_q_v(k, q_v_t)))(keys)
+            # explicit shard_map over the draw axis: each device evaluates
+            # its own draws locally (pallas-safe — no GSPMD partitioning of
+            # the warp kernels; see the MCMC chain-mesh note)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            return shard_map(
+                jax.vmap(lambda k: eval_fn(sample_q_v(k, q_v_t))),
+                mesh=draw_mesh, in_specs=P("draw"), out_specs=P("draw"),
+                check_vma=False,
+            )(keys)
 
         key = jax.random.fold_in(state.key, 101)
         welford = welford_init((3,) + tuple(bundle.dims))
@@ -566,6 +591,8 @@ class Trainer:
         # device's HBM).  Single-device trajectories are bit-identical
         # either way (tests/test_parallel.py).
         self._mcmc_mesh = None
+        chain_mesh = None  # set -> transition runs under shard_map('chain')
+        spatial_gspmd = False
         n_dev = len(jax.devices())
         spatial = int(self.t_cfg.get("spatial_shards", 1))
         if (bool(self.t_cfg.get("distribute", True)) and n_dev > 1
@@ -588,14 +615,16 @@ class Trainer:
                                            self.no_chains, depth)
                 fixed = shard_images_spatial(fixed, self._mcmc_mesh, depth)
                 moving = shard_images_spatial(moving, self._mcmc_mesh, depth)
+                spatial_gspmd = True
                 self.logger.info(
                     "distributing %d chains x %d spatial shards over %d devices",
                     self.no_chains, spatial, n_dev)
             elif self.no_chains % n_dev == 0:
                 self._mcmc_mesh = make_mesh(n_dev, axes=("chain",))
                 mcmc = shard_chain_state(mcmc, self._mcmc_mesh, self.no_chains)
-                self.logger.info("distributing %d chains over %d devices",
-                                 self.no_chains, n_dev)
+                chain_mesh = self._mcmc_mesh
+                self.logger.info("distributing %d chains over %d devices "
+                                 "(shard_map)", self.no_chains, n_dev)
 
         # device-resident scan chunks are capped: chunks beyond ~200
         # transitions at 128^3 fault the TPU worker under the axon tunnel
@@ -616,12 +645,24 @@ class Trainer:
                 this = max(compiled) if compiled else min(cap, n)
                 if this not in chunk_fns:
                     chunk_fns[this] = make_mcmc_chunk(
-                        bundle, self.opt_gmm, self.opt_reg, tau, fixed, moving,
-                        chunk=this, burn_in=self.no_iters_burn_in, thin=1,
-                        param_mode=self.mcmc_param_mode)
+                        bundle, self.opt_gmm, self.opt_reg, tau, fixed,
+                        moving, chunk=this, burn_in=self.no_iters_burn_in,
+                        thin=1, param_mode=self.mcmc_param_mode,
+                        chain_mesh=chain_mesh)
                 mcmc, ms = chunk_fns[this](mcmc)
                 n -= this
             return mcmc, ms
+
+        if spatial_gspmd:
+            # the GSPMD-partitioned spatial path must not trace pallas_calls
+            # (no sharding rule — the partitioner would all-gather full
+            # volumes around each kernel, measured on the virtual mesh); the
+            # XLA blend partitions with O(halo) collectives (compiled-HLO
+            # audit, tests/test_parallel.py).  Trace-time state: covers every
+            # jit traced during this phase, restored in the finally below.
+            from .ops import resample
+
+            resample.set_pallas_mode(False)
 
         eval_fn = jax.jit(jax.vmap(self._make_eval(fixed, moving)))
         fixed_seg_np = np.asarray(fixed["seg"])
@@ -755,6 +796,10 @@ class Trainer:
                     self.save_dirs, self.spacing, np.asarray(mean),
                     np.asarray(std), np.asarray(fixed["mask"]), "MCMC")
             savers.flush()  # all queued sample dumps + checkpoints on disk
+            if spatial_gspmd:
+                from .ops import resample
+
+                resample.set_pallas_mode(None)
 
         if "mcmc_aborted" not in summary:
             # MCMC speed test (trainer.py:467-476).  Reuses the already-

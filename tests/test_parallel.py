@@ -98,6 +98,69 @@ def test_sharded_mcmc_chunk_matches_unsharded():
 
 
 @requires_8
+def test_chain_shard_map_runs_pallas_locally():
+    """The chain-distributed transition runs under an explicit shard_map:
+    each device executes the warp kernels on its LOCAL chains, so the
+    compiled module contains NO all-gathers (under plain GSPMD a
+    pallas_call has no sharding rule and the partitioner all-gathers the
+    full chain-stacked volume around every kernel — measured 8x-volume
+    gathers), and the trajectory matches the unsharded XLA run."""
+    from ir_sgmcmc_tpu.data import sphere_pair
+    from ir_sgmcmc_tpu.engine import init_chains, make_mcmc_chunk
+    from ir_sgmcmc_tpu.engine.bundle import ModelBundle
+    from ir_sgmcmc_tpu.models import GMM, DirichletPrior, LogScaleNormalPrior, SVF3D
+    from ir_sgmcmc_tpu.models.reg_loss import RegLossL2
+    from ir_sgmcmc_tpu.optim import adam_decay
+    from ir_sgmcmc_tpu.ops import resample
+
+    dims = (16, 8, 128)  # pallas-applicable: W % 128 == 0, D % 8 == 0
+    bundle = ModelBundle(
+        dims=dims,
+        gmm=GMM(2, 1),
+        scale_prior=LogScaleNormalPrior(0.0, 2.3),
+        proportion_prior=DirichletPrior(2, 0.5),
+        reg_loss=RegLossL2(w_reg=1.0, dims=dims),
+        transformation=SVF3D(dims, no_steps=4, max_disp=4),
+        sobolev_s=1,
+        uniform_noise_alpha=None,
+        virtual_decimation=False,
+    )
+    fixed, moving = sphere_pair(dims, offset=(0, 0, 1))
+    fixed = {k: jnp.asarray(v) for k, v in fixed.items()}
+    moving = {k: jnp.asarray(v) for k, v in moving.items()}
+    opt_gmm = adam_decay(0.2)
+    opt_reg = adam_decay(0.01)
+
+    def build_state():
+        return init_chains(
+            bundle, jax.random.PRNGKey(0), no_chains=8, mode="noise",
+            q_v=None, gmm=bundle.gmm.init_params(),
+            reg=bundle.reg_loss.init_params(),
+            opt_gmm=opt_gmm, opt_reg=opt_reg,
+        )
+
+    s_plain, _ = make_mcmc_chunk(
+        bundle, opt_gmm, opt_reg, tau=1e-4, fixed=fixed, moving=moving,
+        chunk=1, burn_in=0, thin=1)(build_state())
+
+    mesh = make_mesh(8, axes=("chain",))
+    sharded = shard_chain_state(build_state(), mesh, no_chains=8)
+    resample.set_pallas_mode("interpret")
+    try:
+        chunk = make_mcmc_chunk(
+            bundle, opt_gmm, opt_reg, tau=1e-4, fixed=fixed, moving=moving,
+            chunk=1, burn_in=0, thin=1, chain_mesh=mesh)
+        txt = chunk.lower(sharded).compile().as_text()
+        assert "all-gather" not in txt, "shard_map path must not gather chains"
+        s_shard, _ = chunk(sharded)
+    finally:
+        resample.set_pallas_mode(None)
+    np.testing.assert_allclose(np.asarray(s_shard.v), np.asarray(s_plain.v),
+                               atol=1e-4)
+    assert len(s_shard.v.sharding.device_set) == 8
+
+
+@requires_8
 def test_spatially_sharded_mcmc_chunk_matches_unsharded():
     """The FULL SGLD training step runs over a ('chain','space') mesh with
     fields sharded along D (VERDICT round-1 weak #3: spatial sharding is now
