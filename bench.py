@@ -36,6 +36,7 @@ from pathlib import Path
 DIMS = (128, 128, 128)
 CHAINS = 2
 TIMED_STEPS = 20
+VI_TIMED_STEPS = 20
 TIMED_REPEATS = 3
 
 REPO = Path(__file__).resolve().parent
@@ -73,12 +74,11 @@ def measure_torch_baseline(refresh: bool = False) -> dict:
     return stats
 
 
-def measure_tpu(trace_dir: str | None = None) -> dict:
-    import jax
+def _make_bundle_and_pair():
+    """Experiment-1 model + synthetic 128^3 pair (shared by both phases)."""
     import jax.numpy as jnp
 
     from ir_sgmcmc_tpu.data import sphere_pair
-    from ir_sgmcmc_tpu.engine import init_chains, make_mcmc_chunk
     from ir_sgmcmc_tpu.engine.bundle import ModelBundle
     from ir_sgmcmc_tpu.models import (
         GMM,
@@ -88,7 +88,6 @@ def measure_tpu(trace_dir: str | None = None) -> dict:
         SVF3D,
     )
     from ir_sgmcmc_tpu.models.reg_loss import RegLossLogNormal
-    from ir_sgmcmc_tpu.optim import adam_decay
 
     dims = DIMS
     dof = 3.0 * dims[0] * dims[1] * dims[2]
@@ -109,6 +108,17 @@ def measure_tpu(trace_dir: str | None = None) -> dict:
     fixed, moving = sphere_pair(dims, offset=(0.0, 0.0, 4.0))
     fixed = {k: jnp.asarray(v) for k, v in fixed.items()}
     moving = {k: jnp.asarray(v) for k, v in moving.items()}
+    return bundle, fixed, moving
+
+
+def measure_tpu(trace_dir: str | None = None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ir_sgmcmc_tpu.engine import init_chains, make_mcmc_chunk
+    from ir_sgmcmc_tpu.optim import adam_decay
+
+    bundle, fixed, moving = _make_bundle_and_pair()
 
     opt_gmm = adam_decay(0.2, 0.001)
     opt_reg = adam_decay({"loc": 0.01, "log_scale": 0.01}, 0.001)
@@ -148,13 +158,88 @@ def measure_tpu(trace_dir: str | None = None) -> dict:
     }
 
 
+def measure_vi(trace_dir: str | None = None) -> dict:
+    """Time the VI iteration (VERDICT r2 weak #7 — bench.py timed MCMC only).
+
+    One VI iteration = 2 antithetic forward+backward passes through the full
+    op-chain + 3 optimizer updates (reference trainer/trainer.py:130-170), so
+    its per-iteration cost should sit at ~2-3x one SGLD transition.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ir_sgmcmc_tpu.engine.vi import VIState, gmm_warmup, make_vi_chunk, make_vi_step
+    from ir_sgmcmc_tpu.optim import adam_decay
+
+    bundle, fixed, moving = _make_bundle_and_pair()
+
+    # experiment-1 optimizer groups (configs/experiment1/config.json)
+    opt_q_v = adam_decay({"mu": 0.01, "log_var": 0.01, "u": 0.01}, 0.001)
+    opt_gmm = adam_decay({"log_std": 0.2, "logits": 0.2}, 0.001)
+    opt_reg = adam_decay({"loc": 0.01, "log_scale": 0.01}, 0.001)
+
+    shape = (3,) + DIMS
+    q_v0 = {
+        "mu": jnp.zeros(shape, jnp.float32),
+        "log_var": jnp.full(shape, 2.0 * float(jnp.log(0.5)), jnp.float32),
+        "u": jnp.full(shape, 0.1, jnp.float32),
+    }
+    state = VIState(
+        q_v=q_v0, gmm=bundle.gmm.init_params(), reg=bundle.reg_loss.init_params(),
+        opt_q_v=opt_q_v.init(q_v0), opt_gmm=opt_gmm.init(bundle.gmm.init_params()),
+        opt_reg=opt_reg.init(bundle.reg_loss.init_params()),
+        key=jax.random.PRNGKey(0), step=jnp.zeros((), jnp.int32),
+    )
+    state = gmm_warmup(bundle, opt_gmm, state, fixed, moving)
+
+    step_fn = make_vi_step(bundle, opt_q_v, opt_gmm, opt_reg, fixed, moving)
+    timed = make_vi_chunk(step_fn, VI_TIMED_STEPS)
+
+    state, m = timed(state)          # warm at the real chunk length
+    _ = float(jnp.sum(state.q_v["mu"]))
+
+    times = []
+    for _ in range(TIMED_REPEATS):
+        t0 = time.perf_counter()
+        state, m = timed(state)
+        _ = float(jnp.sum(state.q_v["mu"]))
+        times.append(time.perf_counter() - t0)
+
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            state, m = timed(state)
+            _ = float(jnp.sum(state.q_v["mu"]))
+
+    mean = sum(times) / len(times)
+    return {
+        "iters_per_sec": VI_TIMED_STEPS / mean,
+        "per_chunk_s": [round(t, 3) for t in times],
+        "spread_rel": (max(times) - min(times)) / mean,
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="ir-sgmcmc-tpu benchmark")
     parser.add_argument("--refresh-baseline", action="store_true",
                         help="re-measure the torch-CPU anchor (ignore cache)")
     parser.add_argument("--trace", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of one timed chunk")
+    parser.add_argument("--phase", choices=["mcmc", "vi"], default="mcmc",
+                        help="which phase's hot loop to time (default: the "
+                             "headline SG-MCMC transition; 'vi' times the "
+                             "full VI iteration instead)")
     args = parser.parse_args(argv)
+
+    if args.phase == "vi":
+        vi = measure_vi(trace_dir=args.trace)
+        print(json.dumps({
+            "metric": "vi_iters_per_sec_128cubed",
+            "value": round(vi["iters_per_sec"], 3),
+            "unit": "iters/sec",
+            "spread_rel": round(vi["spread_rel"], 4),
+            "timed_chunks_s": vi["per_chunk_s"],
+        }))
+        return
 
     baseline = measure_torch_baseline(refresh=args.refresh_baseline)
     tpu = measure_tpu(trace_dir=args.trace)
