@@ -161,43 +161,49 @@ def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, mo
     reg_loss = bundle.reg_loss
     learnable_reg = reg_loss.learnable and len(reg_loss.param_names) > 0
 
-    def sample_losses(q_v, reg_p, gmm, opt_gmm_state, v_sample, key):
-        out = forward_sample(bundle, fixed, moving, v_sample, key)
-        mask = fixed["mask"]
-        alpha = vd_alpha(bundle, gmm, out["residuals"], mask)
-        gmm, opt_gmm_state = gmm_adam_step(
-            bundle, opt_gmm, gmm, opt_gmm_state, out["residuals"], mask, alpha
-        )
-        data = bundle.gmm.masked_nll(gmm, out["residuals"], mask) * alpha
-        reg, log_y = reg_loss(reg_p, out["v"])
-        ent = entropy_sample(v_sample, q_v["mu"], q_v["log_var"], q_v["u"])
-        terms = {"data": data, "reg": jnp.sum(reg), "entropy": ent, "log_y": log_y}
-        if learnable_reg and isinstance(reg_loss, RegLossLogNormal):
-            terms["reg_loc_prior"] = jnp.sum(bundle.reg_loc_prior(log_y))
-        elif learnable_reg and isinstance(reg_loss, RegLossL2):
-            terms["reg_w_reg_prior"] = jnp.sum(bundle.reg_w_reg_prior(reg_p["log_w_reg"]))
-        return terms, out, gmm, opt_gmm_state, alpha
-
     def loss_fn(diff_params, gmm, opt_gmm_state, keys):
         q_v, reg_p = diff_params
         s1, s2 = sample_q_v(keys[0], q_v, antithetic=True)
+        mask = fixed["mask"]
 
-        t1, out, gmm, opt_gmm_state, alpha = sample_losses(
-            q_v, reg_p, gmm, opt_gmm_state, s1, keys[1]
-        )
-        t2, _, gmm, opt_gmm_state, _ = sample_losses(
-            q_v, reg_p, gmm, opt_gmm_state, s2, keys[2]
+        # The two antithetic forward chains are GMM-independent — the
+        # reference's interleaved detached GMM Adam steps (trainer.py:68-77,
+        # :99) only consume each sample's *residuals* — so the expensive part
+        # (Sobolev smoothing, SVF integration, warp, LCC residuals, the
+        # regulariser stencil, the entropy quadratic term) runs as ONE
+        # batch-2 vmapped pass; the strictly sequential per-sample GMM
+        # updates and VD/data terms are applied afterwards, unchanged in
+        # order and gradient flow.
+        def fwd(v_sample, key):
+            out = forward_sample(bundle, fixed, moving, v_sample, key)
+            reg, log_y = reg_loss(reg_p, out["v"])
+            ent = entropy_sample(v_sample, q_v["mu"], q_v["log_var"], q_v["u"])
+            return out, jnp.sum(reg), log_y, ent
+
+        outs, regs, log_ys, ents = jax.vmap(fwd)(
+            jnp.stack([s1, s2]), jnp.stack([keys[1], keys[2]])
         )
 
-        data_term = 0.5 * (t1["data"] + t2["data"]) - bundle.gmm_prior_terms(gmm)
-        reg_term = 0.5 * (t1["reg"] + t2["reg"])
+        datas, alphas = [], []
+        for i in range(2):
+            res = outs["residuals"][i]
+            a = vd_alpha(bundle, gmm, res, mask)
+            gmm, opt_gmm_state = gmm_adam_step(
+                bundle, opt_gmm, gmm, opt_gmm_state, res, mask, a
+            )
+            datas.append(bundle.gmm.masked_nll(gmm, res, mask) * a)
+            alphas.append(a)
+
+        data_term = 0.5 * (datas[0] + datas[1]) - bundle.gmm_prior_terms(gmm)
+        reg_term = 0.5 * (regs[0] + regs[1])
         if learnable_reg and isinstance(reg_loss, RegLossLogNormal):
-            reg_term -= 0.5 * (t1["reg_loc_prior"] + t2["reg_loc_prior"])
+            reg_term -= 0.5 * (jnp.sum(bundle.reg_loc_prior(log_ys[0]))
+                               + jnp.sum(bundle.reg_loc_prior(log_ys[1])))
             reg_term -= jnp.sum(bundle.reg_scale_prior(reg_p["log_scale"]))
         elif learnable_reg and isinstance(reg_loss, RegLossL2):
-            reg_term -= 0.5 * (t1["reg_w_reg_prior"] + t2["reg_w_reg_prior"])
+            reg_term -= jnp.sum(bundle.reg_w_reg_prior(reg_p["log_w_reg"]))
 
-        entropy_term = 0.5 * (t1["entropy"] + t2["entropy"]) + entropy_analytic(
+        entropy_term = 0.5 * (ents[0] + ents[1]) + entropy_analytic(
             q_v["log_var"], q_v["u"]
         )
         loss = data_term + reg_term - entropy_term
@@ -207,10 +213,10 @@ def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, mo
             "reg_term": reg_term,
             "entropy_term": entropy_term,
             "total_loss": loss,
-            "vd_alpha": alpha,
-            "reg_energy": jnp.exp(t1["log_y"]).reshape(()),
-            "ndv": out["ndv"],
-            "sat": out["sat"],
+            "vd_alpha": alphas[0],
+            "reg_energy": jnp.exp(log_ys[0]).reshape(()),
+            "ndv": outs["ndv"][0],
+            "sat": outs["sat"][0],
         }
         return loss, (gmm, opt_gmm_state, metrics)
 

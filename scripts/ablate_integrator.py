@@ -30,7 +30,10 @@ REPO = Path(__file__).resolve().parent.parent
 STAGES = {
     "taylor": [],
     "warp": ["--taylor-threshold", "0"],
-    "gather": ["--use-gather"],
+    # gather transitions are ~2.5x slower — a 200-step device chunk exceeds
+    # the axon worker's single-program duration boundary (BASELINE.md
+    # "Scan-chunk TPU fault") and crashes the worker, so cap the chunk
+    "gather": ["--use-gather", "--max-device-chunk", "50"],
 }
 
 

@@ -71,6 +71,12 @@ def main(argv=None):
     p.add_argument("--use-gather", action="store_true",
                    help="SVF integrator: reference-exact gather-based "
                         "squaring (grid_sample self-composition)")
+    p.add_argument("--max-device-chunk", type=int, default=None,
+                   help="cap on uninterrupted device-scan length (axon "
+                        "worker stability boundary; the gather integrator "
+                        "is ~2.5x slower per transition, so the default "
+                        "200 can exceed the worker's duration limit — "
+                        "use ~50 with --use-gather)")
     p.add_argument("--phantom", choices=["sphere", "brain"], default="sphere",
                    help="'brain' = 15-structure anisotropic-spacing phantom "
                         "(the reference's Biobank evaluation surface, "
@@ -118,6 +124,8 @@ def main(argv=None):
         tensorboard=False,
         seed=trainer_seed,
     )
+    if args.max_device_chunk is not None:
+        cfg["trainer"]["max_device_chunk"] = args.max_device_chunk
     config = Config(cfg, run_id="quality")
 
     la = cfg["data_loader"]["args"]
