@@ -74,8 +74,12 @@ def measure_torch_baseline(refresh: bool = False) -> dict:
     return stats
 
 
-def _make_bundle_and_pair():
-    """Experiment-1 model + synthetic 128^3 pair (shared by both phases)."""
+def _make_bundle_and_pair(**svf_kwargs):
+    """Experiment-1 model + synthetic 128^3 pair (shared by both phases).
+
+    ``svf_kwargs`` forward to ``SVF3D`` (``unroll``, ``taylor_threshold``,
+    ``use_gather``) so integrator perf variants can be timed from the CLI.
+    """
     import jax.numpy as jnp
 
     from ir_sgmcmc_tpu.data import sphere_pair
@@ -99,7 +103,7 @@ def _make_bundle_and_pair():
         reg_loss=RegLossLogNormal(w_reg=1.4, dims=dims, learnable=True),
         reg_loc_prior=LogEnergyExpGammaPrior(w_reg=1.4, dof=dof),
         reg_scale_prior=LogScaleNormalPrior(loc=2.8, scale=5.0),
-        transformation=SVF3D(dims, no_steps=12),
+        transformation=SVF3D(dims, no_steps=12, **svf_kwargs),
         sobolev_s=3,
         sobolev_lambda=0.5,
         uniform_noise_alpha=0.1,
@@ -111,14 +115,14 @@ def _make_bundle_and_pair():
     return bundle, fixed, moving
 
 
-def measure_tpu(trace_dir: str | None = None) -> dict:
+def measure_tpu(trace_dir: str | None = None, **svf_kwargs) -> dict:
     import jax
     import jax.numpy as jnp
 
     from ir_sgmcmc_tpu.engine import init_chains, make_mcmc_chunk
     from ir_sgmcmc_tpu.optim import adam_decay
 
-    bundle, fixed, moving = _make_bundle_and_pair()
+    bundle, fixed, moving = _make_bundle_and_pair(**svf_kwargs)
 
     opt_gmm = adam_decay(0.2, 0.001)
     opt_reg = adam_decay({"loc": 0.01, "log_scale": 0.01}, 0.001)
@@ -158,7 +162,7 @@ def measure_tpu(trace_dir: str | None = None) -> dict:
     }
 
 
-def measure_vi(trace_dir: str | None = None) -> dict:
+def measure_vi(trace_dir: str | None = None, **svf_kwargs) -> dict:
     """Time the VI iteration (VERDICT r2 weak #7 — bench.py timed MCMC only).
 
     One VI iteration = 2 antithetic forward+backward passes through the full
@@ -171,7 +175,7 @@ def measure_vi(trace_dir: str | None = None) -> dict:
     from ir_sgmcmc_tpu.engine.vi import VIState, gmm_warmup, make_vi_chunk, make_vi_step
     from ir_sgmcmc_tpu.optim import adam_decay
 
-    bundle, fixed, moving = _make_bundle_and_pair()
+    bundle, fixed, moving = _make_bundle_and_pair(**svf_kwargs)
 
     # experiment-1 optimizer groups (configs/experiment1/config.json)
     opt_q_v = adam_decay({"mu": 0.01, "log_var": 0.01, "u": 0.01}, 0.001)
@@ -228,10 +232,24 @@ def main(argv=None):
                         help="which phase's hot loop to time (default: the "
                              "headline SG-MCMC transition; 'vi' times the "
                              "full VI iteration instead)")
+    parser.add_argument("--unroll", default=None, metavar="N",
+                        help="integration-scan unroll factor ('true' = fully; "
+                             "removes reverse-mode residual-stacking traffic)")
+    parser.add_argument("--taylor-threshold", type=float, default=None)
+    parser.add_argument("--use-gather", action="store_true")
     args = parser.parse_args(argv)
 
+    svf_kwargs = {}
+    if args.unroll is not None:
+        svf_kwargs["unroll"] = (True if args.unroll.lower() == "true"
+                                else int(args.unroll))
+    if args.taylor_threshold is not None:
+        svf_kwargs["taylor_threshold"] = args.taylor_threshold
+    if args.use_gather:
+        svf_kwargs["use_gather"] = True
+
     if args.phase == "vi":
-        vi = measure_vi(trace_dir=args.trace)
+        vi = measure_vi(trace_dir=args.trace, **svf_kwargs)
         print(json.dumps({
             "metric": "vi_iters_per_sec_128cubed",
             "value": round(vi["iters_per_sec"], 3),
@@ -242,7 +260,7 @@ def main(argv=None):
         return
 
     baseline = measure_torch_baseline(refresh=args.refresh_baseline)
-    tpu = measure_tpu(trace_dir=args.trace)
+    tpu = measure_tpu(trace_dir=args.trace, **svf_kwargs)
     print(json.dumps({
         "metric": "sgmcmc_samples_per_sec_128cubed_2chains",
         "value": round(tpu["samples_per_sec"], 3),
