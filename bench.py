@@ -241,8 +241,9 @@ def main(argv=None):
 
     svf_kwargs = {}
     if args.unroll is not None:
-        svf_kwargs["unroll"] = (True if args.unroll.lower() == "true"
-                                else int(args.unroll))
+        u = args.unroll.lower()
+        svf_kwargs["unroll"] = (u == "true") if u in ("true", "false") \
+            else int(args.unroll)
     if args.taylor_threshold is not None:
         svf_kwargs["taylor_threshold"] = args.taylor_threshold
     if args.use_gather:

@@ -119,11 +119,15 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
     if max_disp is not None and not getattr(bundle.transformation, "use_gather", False):
         d = jax.lax.stop_gradient(displacement)
         # The radius-1 composition scheme only clamps once the total
-        # displacement exceeds 2^ceil(log2(max_disp)) voxels (phase-2 warps
-        # clamp when |u_phi| > 1, i.e. |d| > no_compositions) — for
-        # non-power-of-two max_disp comparing against max_disp itself would
-        # count voxels that were never clamped (ADVICE r2).
-        clamp_bound = float(2 ** max(0, (int(max_disp) - 1).bit_length()))
+        # displacement exceeds the composition count (phase-2 warps clamp
+        # when |u_phi| > 1, i.e. |d| > no_compositions = 2^e with
+        # e = min(no_steps, ceil(log2(max_disp)))) — comparing against
+        # max_disp itself would both over-count for non-power-of-two
+        # max_disp (ADVICE r2) and UNDER-count when no_steps caps e below
+        # ceil(log2(max_disp)), silently missing real clamping.
+        clamp_bound = float(getattr(
+            bundle.transformation, "no_compositions",
+            2 ** max(0, (int(max_disp) - 1).bit_length())))
         sat = jnp.sum(jnp.any(jnp.abs(d) >= clamp_bound, axis=0))
     else:
         sat = jnp.zeros((), jnp.int32)

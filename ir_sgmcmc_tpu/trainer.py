@@ -281,17 +281,20 @@ class Trainer:
                 self.writer.add_scalar(f"ASD/{tag}/mean", float(asd[0][finite].mean()))
         return float(dsc.mean())
 
-    def _maybe_checkpoint(self, path, state, meta, force: bool = False) -> None:
+    def _maybe_checkpoint(self, path, state, meta, force: bool = False,
+                          snapshotted: bool = False) -> None:
         """Time-gated checkpoint: fetching the chain state costs ~30 s at
         128³ over the tunnel, so it happens at most every
         ``checkpoint_period_s`` (and always at phase boundaries), and the
         fetch + write run on the background writer thread — the snapshot is
         taken on-device here (donation-safe), the main loop keeps driving
-        device chunks."""
+        device chunks.  Pass ``snapshotted=True`` when ``state`` is already
+        a donation-safe copy (the MCMC loop snapshots every period) to skip
+        a second full device copy (hundreds of MB of HBM at 128³)."""
         now = time.perf_counter()
         if not force and now - self._last_ckpt_t < self.ckpt_period_s:
             return
-        snap = jax.tree.map(jnp.copy, state)
+        snap = state if snapshotted else jax.tree.map(jnp.copy, state)
         savers.submit(lambda: save_checkpoint(path, snap, meta))
         self._last_ckpt_t = time.perf_counter()
 
@@ -347,7 +350,18 @@ class Trainer:
 
             resample.set_pallas_mode(False)
         try:
-            return self._run_vi_loop(fixed, moving, state, start)
+            state = self._run_vi_loop(fixed, moving, state, start)
+            if self._vi_mesh is not None:
+                # gather the space-sharded VI state back onto one device:
+                # everything downstream — _test_vi's posterior-mean eval and
+                # speed test, and the MCMC phase's own chain/space sharding —
+                # jits over state.q_v with Pallas re-enabled, and a
+                # pallas_call traced against space-sharded operands has no
+                # GSPMD sharding rule (the partitioner would all-gather full
+                # volumes around every warp kernel)
+                dev0 = jax.devices()[0]
+                state = jax.tree.map(lambda x: jax.device_put(x, dev0), state)
+            return state
         finally:
             if self._vi_mesh is not None:
                 resample.set_pallas_mode(None)
@@ -374,56 +388,63 @@ class Trainer:
 
         log_period = max(1, min(self.log_period_vi, self.no_iters_vi))
         done = start
-        while done < self.no_iters_vi:
-            this = min(log_period, self.no_iters_vi - done)
-            state, ms = run_steps(state, this)
-            done += this
-            last = _host(_last(ms))
+        try:
+            while done < self.no_iters_vi:
+                this = min(log_period, self.no_iters_vi - done)
+                state, ms = run_steps(state, this)
+                done += this
+                last = _host(_last(ms))
 
-            self.writer.set_step(done)
-            for k in ("data_term", "reg_term", "entropy_term", "total_loss",
-                      "vd_alpha", "reg_energy", "ndv", "sat"):
-                self.tracker.update(k, float(np.asarray(last[k])))
-            self._check_saturation(int(np.asarray(last["sat"])), done, "VI")
-            for i, (s, p) in enumerate(zip(np.atleast_1d(last["gmm_scales"]),
-                                           np.atleast_1d(last["gmm_proportions"]))):
-                self.writer.add_scalar(f"GMM/scale_{i}", float(s))
-                self.writer.add_scalar(f"GMM/proportion_{i}", float(p))
-            for name in ("mu", "log_var", "u"):
-                self.writer.add_scalar(f"VI/max_update_{name}",
-                                       float(np.asarray(last[f"max_update_{name}"])))
+                self.writer.set_step(done)
+                for k in ("data_term", "reg_term", "entropy_term", "total_loss",
+                          "vd_alpha", "reg_energy", "ndv", "sat"):
+                    self.tracker.update(k, float(np.asarray(last[k])))
+                self._check_saturation(int(np.asarray(last["sat"])), done, "VI")
+                for i, (s, p) in enumerate(zip(np.atleast_1d(last["gmm_scales"]),
+                                               np.atleast_1d(last["gmm_proportions"]))):
+                    self.writer.add_scalar(f"GMM/scale_{i}", float(s))
+                    self.writer.add_scalar(f"GMM/proportion_{i}", float(p))
+                for name in ("mu", "log_var", "u"):
+                    self.writer.add_scalar(f"VI/max_update_{name}",
+                                           float(np.asarray(last[f"max_update_{name}"])))
 
-            out = eval_fn(state.q_v["mu"])
-            mean_dsc = self._log_seg_metrics(fixed_seg_np, out, "VI")
-            if self.writer.has_figures:
-                from .utils import figures
+                out = eval_fn(state.q_v["mu"])
+                mean_dsc = self._log_seg_metrics(fixed_seg_np, out, "VI")
+                if self.writer.has_figures:
+                    from .utils import figures
 
-                self.writer.add_figure("VI/residual_hist", figures.residual_histogram(
-                    np.asarray(out["residuals"]), np.asarray(fixed["mask"]),
-                    np.log(np.asarray(last["gmm_proportions"])),
-                    np.log(np.asarray(last["gmm_scales"]))))
-                self.writer.add_figure("VI/images", figures.image_grid({
-                    "fixed": np.asarray(fixed["im"]),
-                    "moving": np.asarray(moving["im"]),
-                    "warped(mu)": np.asarray(out["im_warped"])}))
-                self.writer.add_figure("VI/fields", figures.field_norm_grid({
-                    "mu": np.asarray(state.q_v["mu"]),
-                    "sigma": np.exp(0.5 * np.asarray(state.q_v["log_var"])),
-                    "u": np.asarray(state.q_v["u"]),
-                    "displacement": np.asarray(out["displacement"])}))
-            self.logger.info(
-                "VI %d/%d loss %.1f data %.1f reg %.1f entropy %.1f dice %.4f ndv %d",
-                done, self.no_iters_vi, float(last["total_loss"]),
-                float(last["data_term"]), float(last["reg_term"]),
-                float(last["entropy_term"]), mean_dsc, int(last["ndv"]),
-            )
-            self._maybe_checkpoint(
-                self.save_dirs["models"] / "vi_latest.npz", state,
-                {"phase": "VI", "phase_done": 0, "vi_iters": done,
-                 "config": self.config.name},
-                force=done >= self.no_iters_vi,
-            )
-        savers.flush()
+                    self.writer.add_figure("VI/residual_hist", figures.residual_histogram(
+                        np.asarray(out["residuals"]), np.asarray(fixed["mask"]),
+                        np.log(np.asarray(last["gmm_proportions"])),
+                        np.log(np.asarray(last["gmm_scales"]))))
+                    self.writer.add_figure("VI/images", figures.image_grid({
+                        "fixed": np.asarray(fixed["im"]),
+                        "moving": np.asarray(moving["im"]),
+                        "warped(mu)": np.asarray(out["im_warped"])}))
+                    self.writer.add_figure("VI/fields", figures.field_norm_grid({
+                        "mu": np.asarray(state.q_v["mu"]),
+                        "sigma": np.exp(0.5 * np.asarray(state.q_v["log_var"])),
+                        "u": np.asarray(state.q_v["u"]),
+                        "displacement": np.asarray(out["displacement"])}))
+                self.logger.info(
+                    "VI %d/%d loss %.1f data %.1f reg %.1f entropy %.1f dice %.4f ndv %d",
+                    done, self.no_iters_vi, float(last["total_loss"]),
+                    float(last["data_term"]), float(last["reg_term"]),
+                    float(last["entropy_term"]), mean_dsc, int(last["ndv"]),
+                )
+                self._maybe_checkpoint(
+                    self.save_dirs["models"] / "vi_latest.npz", state,
+                    {"phase": "VI", "phase_done": 0, "vi_iters": done,
+                     "config": self.config.name},
+                    force=done >= self.no_iters_vi,
+                )
+        finally:
+            # on a TrainerAbort (saturation guard) the queued async
+            # checkpoint/artifact writes must still land before the
+            # exception propagates — the daemon writer thread would
+            # otherwise drop them at interpreter exit (the MCMC phase
+            # flushes in its finally for the same reason)
+            savers.flush()
         return state
 
     def _test_vi(self, fixed, moving, state: VIState) -> dict:
@@ -740,11 +761,13 @@ class Trainer:
                 np.array2string(np.asarray(last["reg_term"]), precision=1),
                 np.asarray(last["ndv"]),
             )
+            # ``state`` is the loop's own donation-safe snapshot (see
+            # ``snap`` below) — no second device copy needed
             self._maybe_checkpoint(
                 self.save_dirs["models"] / "mcmc_latest.npz", state,
                 {"phase": "MCMC", "phase_done": 1, "mcmc_steps": done_at,
                  "config": self.config.name},
-                force=done_at >= total,
+                force=done_at >= total, snapshotted=True,
             )
 
         pending = None
@@ -807,21 +830,33 @@ class Trainer:
             # speed_test_iters would recompile the whole transition scan
             # (~100 s at 128³) just for the timer.  The chains are past
             # burn-in, so the timed transitions exercise the identical
-            # sampling path.
-            lengths = sorted(chunk_fns)
-            iters = self.speed_test_iters
-            if lengths and iters < lengths[0]:
-                iters = lengths[0]  # no shorter compiled chunk — round up
-            mcmc, _ = run_steps(mcmc, iters)  # warm lengths
-            _ = float(np.asarray(mcmc.v).mean())
-            t1 = time.perf_counter()
-            mcmc, _ = run_steps(mcmc, iters)
-            _ = float(np.asarray(mcmc.v).mean())
-            dt = time.perf_counter() - t1
-            sps = self.no_chains * iters / dt
-            self.logger.info("MCMC sampling speed: %.2f samples/sec", sps)
-            summary["mcmc_samples_per_sec"] = sps
+            # sampling path.  The pallas-off trace state must be re-engaged
+            # here: run_steps can still compile a NEW chunk length for a
+            # residue (e.g. compiled={125}, iters leaves n=5) and the finally
+            # above already restored the mode — tracing a pallas_call into a
+            # GSPMD-partitioned graph has no sharding rule.
+            if spatial_gspmd:
+                from .ops import resample
 
-            outs = eval_fn(mcmc.v)
-            summary["mcmc_mean_dsc"] = float(np.asarray(outs["dsc"]).mean())
+                resample.set_pallas_mode(False)
+            try:
+                lengths = sorted(chunk_fns)
+                iters = self.speed_test_iters
+                if lengths and iters < lengths[0]:
+                    iters = lengths[0]  # no shorter compiled chunk — round up
+                mcmc, _ = run_steps(mcmc, iters)  # warm lengths
+                _ = float(np.asarray(mcmc.v).mean())
+                t1 = time.perf_counter()
+                mcmc, _ = run_steps(mcmc, iters)
+                _ = float(np.asarray(mcmc.v).mean())
+                dt = time.perf_counter() - t1
+                sps = self.no_chains * iters / dt
+                self.logger.info("MCMC sampling speed: %.2f samples/sec", sps)
+                summary["mcmc_samples_per_sec"] = sps
+
+                outs = eval_fn(mcmc.v)
+                summary["mcmc_mean_dsc"] = float(np.asarray(outs["dsc"]).mean())
+            finally:
+                if spatial_gspmd:
+                    resample.set_pallas_mode(None)
         return summary

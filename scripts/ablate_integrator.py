@@ -77,13 +77,25 @@ def main(argv=None):
             ] + STAGES[stage]
             t0 = time.time()
             print(f"== {stage} seed {seed}: {' '.join(cmd)}", file=sys.stderr)
-            proc = subprocess.run(cmd, cwd=str(REPO), capture_output=True,
-                                  text=True, timeout=7200)
-            if proc.returncode != 0:
+            try:
+                proc = subprocess.run(cmd, cwd=str(REPO), capture_output=True,
+                                      text=True, timeout=7200)
+            except subprocess.TimeoutExpired as e:
+                # one over-budget run must not kill the whole driver — record
+                # an error row so the resume logic retries only this cell
+                rec = {"stage": stage, "trainer_seed": seed, "error": True,
+                       "stderr_tail": f"timeout after {e.timeout}s"}
+                proc = None
+            if proc is not None and proc.returncode != 0:
                 rec = {"stage": stage, "trainer_seed": seed, "error": True,
                        "stderr_tail": proc.stderr[-1500:]}
-            else:
-                rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            elif proc is not None:
+                try:
+                    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                except (json.JSONDecodeError, IndexError):
+                    rec = {"stage": stage, "trainer_seed": seed, "error": True,
+                           "stderr_tail": "rc=0 but no JSON on stdout: "
+                                          + proc.stdout[-500:]}
                 rec["stage"] = stage
             rec["wall_s"] = round(time.time() - t0, 1)
             with out_path.open("a") as f:

@@ -68,6 +68,7 @@ def _bytes_from_long_name(long_name: str) -> float:
 def summarise(trace_dir: Path, top: int = 25, peak_gbs: float = 819.0):
     self_t = defaultdict(float)
     count = defaultdict(int)
+    leaf_t = defaultdict(float)
     bytes_acc = defaultdict(float)
     total = 0.0
     for _, events in load_events(trace_dir):
@@ -104,6 +105,10 @@ def summarise(trace_dir: Path, top: int = 25, peak_gbs: float = 819.0):
                 count[name] += 1
                 total += st
                 if child[id(e)] == 0:  # leaf: bytes not re-reported below
+                    # bandwidth pairs leaf bytes with LEAF self-time — a name
+                    # that also occurs as a wrapper would otherwise divide
+                    # leaf-only bytes by leaf+wrapper time, understating GB/s
+                    leaf_t[name] += st
                     try:
                         by = float(e.get("args", {}).get("bytes_accessed", 0))
                     except (TypeError, ValueError):
@@ -124,7 +129,8 @@ def summarise(trace_dir: Path, top: int = 25, peak_gbs: float = 819.0):
           f"{'mean_us':>10}  {'MB_moved':>9}  {'GB/s':>7}  {'%SoL':>5}")
     for name, t in rows:
         by = bytes_acc[name]
-        gbs = by / (t * 1e-6) / 1e9 if t > 0 else 0.0
+        lt = leaf_t[name]
+        gbs = by / (lt * 1e-6) / 1e9 if lt > 0 else 0.0
         sol = 100.0 * gbs / peak_gbs
         print(f"{name:<{width}}  {t / 1e3:>10.3f}  {100 * t / total:>5.1f}%  "
               f"{count[name]:>7}  {t / max(count[name], 1):>10.1f}  "
