@@ -71,6 +71,12 @@ def main(argv=None):
     p.add_argument("--use-gather", action="store_true",
                    help="SVF integrator: reference-exact gather-based "
                         "squaring (grid_sample self-composition)")
+    p.add_argument("--noise-scheme", choices=["pre", "post"], default=None,
+                   help="uniform transformation-noise scheme: 'post' = "
+                        "reference-exact (displacement-only cascade + ONE "
+                        "gather warp at T+noise, utils/util.py:44-53; "
+                        "~3x slower per transition), 'pre' = fast bounded "
+                        "path (default from the config)")
     p.add_argument("--max-device-chunk", type=int, default=None,
                    help="cap on uninterrupted device-scan length (axon "
                         "worker stability boundary; the gather integrator "
@@ -126,6 +132,8 @@ def main(argv=None):
     )
     if args.max_device_chunk is not None:
         cfg["trainer"]["max_device_chunk"] = args.max_device_chunk
+    if args.noise_scheme is not None:
+        cfg["trainer"].setdefault("uniform_noise", {})["scheme"] = args.noise_scheme
     config = Config(cfg, run_id="quality")
 
     la = cfg["data_loader"]["args"]
