@@ -74,11 +74,13 @@ def measure_torch_baseline(refresh: bool = False) -> dict:
     return stats
 
 
-def _make_bundle_and_pair(**svf_kwargs):
+def _make_bundle_and_pair(noise_scheme="pre", **svf_kwargs):
     """Experiment-1 model + synthetic 128^3 pair (shared by both phases).
 
     ``svf_kwargs`` forward to ``SVF3D`` (``unroll``, ``taylor_threshold``,
     ``use_gather``) so integrator perf variants can be timed from the CLI.
+    ``noise_scheme``: 'pre' (fast cascade warp) or 'post' (reference-exact
+    transformation noise — single-warp image path).
     """
     import jax.numpy as jnp
 
@@ -107,6 +109,7 @@ def _make_bundle_and_pair(**svf_kwargs):
         sobolev_s=3,
         sobolev_lambda=0.5,
         uniform_noise_alpha=0.1,
+        noise_scheme=noise_scheme,
         virtual_decimation=True,
     )
     fixed, moving = sphere_pair(dims, offset=(0.0, 0.0, 4.0))
@@ -115,14 +118,15 @@ def _make_bundle_and_pair(**svf_kwargs):
     return bundle, fixed, moving
 
 
-def measure_tpu(trace_dir: str | None = None, **svf_kwargs) -> dict:
+def measure_tpu(trace_dir: str | None = None, noise_scheme="pre",
+                anchored=False, anchor_radius=2, **svf_kwargs) -> dict:
     import jax
     import jax.numpy as jnp
 
     from ir_sgmcmc_tpu.engine import init_chains, make_mcmc_chunk
     from ir_sgmcmc_tpu.optim import adam_decay
 
-    bundle, fixed, moving = _make_bundle_and_pair(**svf_kwargs)
+    bundle, fixed, moving = _make_bundle_and_pair(noise_scheme, **svf_kwargs)
 
     opt_gmm = adam_decay(0.2, 0.001)
     opt_reg = adam_decay({"loc": 0.01, "log_scale": 0.01}, 0.001)
@@ -134,7 +138,8 @@ def measure_tpu(trace_dir: str | None = None, **svf_kwargs) -> dict:
     )
 
     timed = make_mcmc_chunk(bundle, opt_gmm, opt_reg, 1e-5, fixed, moving,
-                            chunk=TIMED_STEPS, burn_in=0, thin=1)
+                            chunk=TIMED_STEPS, burn_in=0, thin=1,
+                            anchored=anchored, anchor_radius=anchor_radius)
 
     # block_until_ready does not actually block under the axon tunnel;
     # force host syncs with float(·).  Warm at the REAL chunk length so the
@@ -162,7 +167,7 @@ def measure_tpu(trace_dir: str | None = None, **svf_kwargs) -> dict:
     }
 
 
-def measure_vi(trace_dir: str | None = None, **svf_kwargs) -> dict:
+def measure_vi(trace_dir: str | None = None, noise_scheme="pre", **svf_kwargs) -> dict:
     """Time the VI iteration (VERDICT r2 weak #7 — bench.py timed MCMC only).
 
     One VI iteration = 2 antithetic forward+backward passes through the full
@@ -175,7 +180,7 @@ def measure_vi(trace_dir: str | None = None, **svf_kwargs) -> dict:
     from ir_sgmcmc_tpu.engine.vi import VIState, gmm_warmup, make_vi_chunk, make_vi_step
     from ir_sgmcmc_tpu.optim import adam_decay
 
-    bundle, fixed, moving = _make_bundle_and_pair(**svf_kwargs)
+    bundle, fixed, moving = _make_bundle_and_pair(noise_scheme, **svf_kwargs)
 
     # experiment-1 optimizer groups (configs/experiment1/config.json)
     opt_q_v = adam_decay({"mu": 0.01, "log_var": 0.01, "u": 0.01}, 0.001)
@@ -237,6 +242,16 @@ def main(argv=None):
                              "removes reverse-mode residual-stacking traffic)")
     parser.add_argument("--taylor-threshold", type=float, default=None)
     parser.add_argument("--use-gather", action="store_true")
+    parser.add_argument("--noise-scheme", choices=["pre", "post"],
+                        default="pre",
+                        help="'post' = reference-exact transformation noise "
+                             "(single-warp image path; anchored residual "
+                             "warping in the MCMC loop unless --no-anchor)")
+    parser.add_argument("--anchor", action="store_true",
+                        help="with --noise-scheme post: EXPERIMENTAL anchored "
+                             "residual warping (known quality regression - "
+                             "BASELINE.md round 3)")
+    parser.add_argument("--anchor-radius", type=int, default=2)
     args = parser.parse_args(argv)
 
     svf_kwargs = {}
@@ -250,7 +265,8 @@ def main(argv=None):
         svf_kwargs["use_gather"] = True
 
     if args.phase == "vi":
-        vi = measure_vi(trace_dir=args.trace, **svf_kwargs)
+        vi = measure_vi(trace_dir=args.trace, noise_scheme=args.noise_scheme,
+                        **svf_kwargs)
         print(json.dumps({
             "metric": "vi_iters_per_sec_128cubed",
             "value": round(vi["iters_per_sec"], 3),
@@ -261,11 +277,14 @@ def main(argv=None):
         return
 
     baseline = measure_torch_baseline(refresh=args.refresh_baseline)
-    tpu = measure_tpu(trace_dir=args.trace, **svf_kwargs)
+    tpu = measure_tpu(trace_dir=args.trace, noise_scheme=args.noise_scheme,
+                      anchored=args.anchor,
+                      anchor_radius=args.anchor_radius, **svf_kwargs)
     print(json.dumps({
         "metric": "sgmcmc_samples_per_sec_128cubed_2chains",
         "value": round(tpu["samples_per_sec"], 3),
         "unit": "samples/sec",
+        "noise_scheme": args.noise_scheme,
         "vs_baseline": round(tpu["samples_per_sec"] / baseline["samples_per_sec"], 2),
         "spread_rel": round(tpu["spread_rel"], 4),
         "timed_chunks_s": tpu["per_chunk_s"],

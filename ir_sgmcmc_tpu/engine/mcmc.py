@@ -166,21 +166,65 @@ def init_chains(
     )
 
 
+def make_chain_anchor(bundle: ModelBundle, moving: dict,
+                      anchor_mode: str = "taylor"):
+    """Build the per-chain anchor for anchored residual warping.
+
+    Runs ONCE per device chunk (engine-level amortisation of the global
+    gather): integrate the chunk-entry velocity to ``T0``, gather
+    ``W0 = moving ∘ T0`` (forward only — the anchor carries no gradient),
+    and precompute ``J0⁻¹ = (I + ∇d0)⁻¹`` so per-step residuals can be
+    mapped into the anchor's source frame (see
+    :func:`~ir_sgmcmc_tpu.engine.vi.forward_sample`).
+    """
+    from ..ops.grids import inv_jacobian
+    from ..ops.resample import grid_sample
+    from ..ops.stencil import gradient
+
+    def anchor_one(v_unsmoothed):
+        v = bundle.smooth(v_unsmoothed)
+        transformation, displacement, _ = bundle.transformation.integrate(
+            v, im=None)
+        w0 = grid_sample(moving["im"], transformation, mode="linear")
+        eye = jnp.eye(3, dtype=displacement.dtype).reshape(3, 3, 1, 1, 1)
+        # clamp the frame map: near-folded anchor voxels (det -> 0, which
+        # DO occur transiently — the fold guard tolerates a handful) would
+        # otherwise put ~1/det ~ 1e6 factors into the residual map AND its
+        # transpose in the backward pass, poisoning the chain around them;
+        # a diffeomorphic J^-1 entry is O(1), so [-3, 3] is generous
+        jinv = jnp.clip(inv_jacobian(eye + gradient(displacement)), -3.0, 3.0)
+        anchor = {"W0": jax.lax.stop_gradient(w0),
+                  "d0": jax.lax.stop_gradient(displacement),
+                  "Jinv": jax.lax.stop_gradient(jinv)}
+        if anchor_mode == "taylor":
+            w0c = w0 if w0.ndim == 4 else w0[None]
+            anchor["GW0"] = jax.lax.stop_gradient(gradient(w0c))
+        return anchor
+
+    return anchor_one
+
+
 def make_sgld_transition(
-    bundle: ModelBundle, opt_gmm, opt_reg, tau: float, fixed: dict, moving: dict
+    bundle: ModelBundle, opt_gmm, opt_reg, tau: float, fixed: dict, moving: dict,
+    anchored: bool = False, anchor_radius: int = 2,
 ):
     """Single-chain SGLD transition ``(chain_state, collect?) -> ...``.
 
     ``fixed``/``moving`` are one image pair (shared across chains — the
     reference ``expand``s them over the chain axis, trainer.py:361-362; under
     vmap they broadcast for free).
+
+    With ``anchored=True`` the transition takes a third ``anchor`` argument
+    (from :func:`make_chain_anchor`) and the image warp runs as a bounded
+    residual blend off the anchor instead of a per-step global gather.
     """
     reg_loss = bundle.reg_loss
     learnable_reg = reg_loss.learnable and len(reg_loss.param_names) > 0
 
-    def potential(v_noised, reg_p, gmm, opt_gmm_state, key):
+    def potential(v_noised, reg_p, gmm, opt_gmm_state, key, anchor):
         """U(v') for one chain; also advances the detached GMM params."""
-        out = forward_sample(bundle, fixed, moving, v_noised, key)
+        out = forward_sample(bundle, fixed, moving, v_noised, key,
+                             anchor=anchor, anchor_radius=anchor_radius)
         mask = fixed["mask"]
         alpha = vd_alpha(bundle, gmm, out["residuals"], mask)
         gmm, opt_gmm_state = gmm_adam_step(
@@ -213,14 +257,15 @@ def make_sgld_transition(
         }
         return loss, aux
 
-    def transition(chain, collect_weight):
+    def transition(chain, collect_weight, anchor=None):
         """``chain``: dict with one chain's slices of MCMCState fields."""
         key, k_noise, k_unif = jax.random.split(chain["key"], 3)
         v_noised = chain["v"] + langevin_noise(k_noise, chain["sigma"], tau)
 
         grad_fn = jax.grad(potential, argnums=(0, 1), has_aux=True)
         (g_v, g_reg), aux = grad_fn(
-            v_noised, chain["reg"], chain["gmm"], chain["opt_gmm"], k_unif
+            v_noised, chain["reg"], chain["gmm"], chain["opt_gmm"], k_unif,
+            anchor,
         )
 
         v_next = v_noised - tau * chain["sigma"] ** 2 * g_v
@@ -379,6 +424,10 @@ def make_mcmc_chunk(
     thin: int,
     param_mode: str = "per_chain",
     chain_mesh=None,
+    anchored: bool = False,
+    anchor_radius: int = 2,
+    anchor_mode: str = "taylor",
+    anchor_period: int = 25,
 ):
     """Scan ``chunk`` SGLD transitions over all chains on device.
 
@@ -401,13 +450,32 @@ def make_mcmc_chunk(
     run on local blocks, with zero cross-chain collectives (the transition
     is embarrassingly parallel).
     """
+    # anchored residual warping needs the bounded post-noise path and
+    # per-chain (embarrassingly parallel) transitions; anything else falls
+    # back to the per-step exact warp silently — the caller's config is
+    # still honoured, just without the amortisation
+    anchored = (
+        anchored
+        and param_mode != "shared"
+        and getattr(bundle, "noise_scheme", "pre") == "post"
+        and getattr(bundle.transformation, "integrate", None) is not None
+        and not getattr(bundle.transformation, "use_gather", False)
+    )
+
+    anchor_fn = None
     if param_mode == "shared":
         vtransition = make_sgld_transition_shared(
             bundle, opt_gmm, opt_reg, tau, fixed, moving
         )
     else:
-        transition = make_sgld_transition(bundle, opt_gmm, opt_reg, tau, fixed, moving)
-        vtransition = jax.vmap(transition, in_axes=(0, None))
+        transition = make_sgld_transition(
+            bundle, opt_gmm, opt_reg, tau, fixed, moving,
+            anchored=anchored, anchor_radius=anchor_radius)
+        if anchored:
+            vtransition = jax.vmap(transition, in_axes=(0, None, 0))
+            anchor_fn = jax.vmap(make_chain_anchor(bundle, moving, anchor_mode))
+        else:
+            vtransition = jax.vmap(transition, in_axes=(0, None))
         if chain_mesh is not None:
             from jax import shard_map
             from jax.sharding import PartitionSpec
@@ -416,33 +484,78 @@ def make_mcmc_chunk(
             # P('chain') spec serves as the pytree prefix for all of them;
             # check_vma off: pallas_call output ShapeDtypeStructs carry no
             # variance annotation
+            in_specs = (PartitionSpec("chain"), PartitionSpec())
+            if anchored:
+                in_specs = in_specs + (PartitionSpec("chain"),)
+                anchor_fn = shard_map(
+                    anchor_fn,
+                    mesh=chain_mesh,
+                    in_specs=(PartitionSpec("chain"),),
+                    out_specs=PartitionSpec("chain"),
+                    check_vma=False,
+                )
             vtransition = shard_map(
                 vtransition,
                 mesh=chain_mesh,
-                in_specs=(PartitionSpec("chain"), PartitionSpec()),
+                in_specs=in_specs,
                 out_specs=PartitionSpec("chain"),
                 check_vma=False,
             )
 
-    def body(state: MCMCState, _):
-        step = state.step + 1
-        collect = jnp.logical_and(step > burn_in, (step - burn_in) % thin == 0)
-        chain = {
-            "v": state.v,
-            "sigma": state.sigma,
-            "gmm": state.gmm,
-            "reg": state.reg,
-            "opt_gmm": state.opt_gmm,
-            "opt_reg": state.opt_reg,
-            "welford": state.welford,
-            "key": state.key,
-        }
-        new_chain, metrics = vtransition(chain, collect.astype(jnp.float32))
-        new_state = MCMCState(step=step, **new_chain)
-        return new_state, metrics
+    def make_body(anchor):
+        def body(state: MCMCState, _):
+            step = state.step + 1
+            collect = jnp.logical_and(step > burn_in, (step - burn_in) % thin == 0)
+            chain = {
+                "v": state.v,
+                "sigma": state.sigma,
+                "gmm": state.gmm,
+                "reg": state.reg,
+                "opt_gmm": state.opt_gmm,
+                "opt_reg": state.opt_reg,
+                "welford": state.welford,
+                "key": state.key,
+            }
+            w = collect.astype(jnp.float32)
+            if anchor is not None:
+                new_chain, metrics = vtransition(chain, w, anchor)
+            else:
+                new_chain, metrics = vtransition(chain, w)
+            new_state = MCMCState(step=step, **new_chain)
+            return new_state, metrics
+
+        return body
 
     def run(state: MCMCState):
-        return jax.lax.scan(body, state, None, length=chunk)
+        if anchor_fn is None:
+            return jax.lax.scan(make_body(None), state, None, length=chunk)
+        # re-anchor every ``anchor_period`` steps (bounds the residual the
+        # per-step warp must cover): nested scan — the outer body pays one
+        # gather, the inner scan rides it as an invariant; a non-dividing
+        # chunk gets one shorter trailing block
+        period = min(max(anchor_period, 1), chunk)
+
+        def block_of(n):
+            def block(state, _):
+                anchor = anchor_fn(state.v)
+                return jax.lax.scan(make_body(anchor), state, None, length=n)
+            return block
+
+        parts = []
+        full = chunk // period
+        if full:
+            state, ms = jax.lax.scan(block_of(period), state, None,
+                                     length=full)
+            parts.append(jax.tree.map(
+                lambda x: x.reshape((full * period,) + x.shape[2:]), ms))
+        rem = chunk - full * period
+        if rem:
+            state, ms = block_of(rem)(state, None)
+            parts.append(ms)
+        if len(parts) == 1:
+            return state, parts[0]
+        ms = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        return state, ms
 
     return jax.jit(run, donate_argnums=0)
 

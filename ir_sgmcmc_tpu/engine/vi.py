@@ -59,7 +59,8 @@ def count_folds(transformation: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(det_jacobian(jac) < 0.0)
 
 
-def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed, key):
+def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed, key,
+                   anchor: dict | None = None, anchor_radius: int = 2):
     """Shared forward chain: smooth -> integrate+warp -> residuals.
 
     Mirrors trainer.py:81-96 (VI) / :292-307 (MCMC).  On the TPU hot path
@@ -70,6 +71,18 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
     U(-α, α) voxel noise perturbs the pre-transform sampling position
     instead of the post-transform one — the same-scale regulariser (the two
     differ by the local Jacobian, ≈ identity for diffeomorphic fields).
+
+    ``anchor`` (``noise_scheme='post'`` MCMC only): per-chunk anchored
+    residual warping.  Instead of one global gather per sample (XLA TPU
+    gathers run far from roofline — BASELINE.md round 3), the chunk entry
+    precomputes ``W0 = moving ∘ T0`` (one gather) and each step warps the
+    *anchored* image with the small residual ``δ' = J0⁻¹ (d - d0 + noise)``
+    via the bounded-blend kernel: ``W0(x + δ'(x)) = moving(T0(x + δ')) ≈
+    moving(T(x) + noise)`` to second order in the residual.  Quality sits
+    between the exact single-gather path (one resample) and the cascade
+    path (one resample of a once-resampled image); residuals are clamped at
+    ``anchor_radius`` voxels and clamped voxels are surfaced through the
+    ``sat`` guard channel.
     """
     v = bundle.smooth(v_unsmoothed)
     integrate = getattr(bundle.transformation, "integrate", None)
@@ -77,7 +90,43 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
         bundle.uniform_noise_alpha is not None
         and getattr(bundle, "noise_scheme", "pre") == "post"
     )
-    if (integrate is not None
+    anchored = (
+        anchor is not None
+        and integrate is not None
+        and not getattr(bundle.transformation, "use_gather", False)
+        and getattr(bundle, "noise_scheme", "pre") == "post"
+    )
+    anchor_sat = jnp.zeros((), jnp.int32)
+    if anchored:
+        transformation, displacement, _ = integrate(v, im=None)
+        delta = displacement - anchor["d0"]
+        if bundle.uniform_noise_alpha is not None:
+            alpha = bundle.uniform_noise_alpha
+            delta = delta + jax.random.uniform(
+                key, delta.shape, delta.dtype, -alpha, alpha)
+        # into the anchor's source frame: T0(x + δ') ≈ T0(x) + J0 δ'
+        delta = jnp.einsum("cd...,d...->c...", anchor["Jinv"], delta)
+        if "GW0" in anchor:
+            # Taylor form: W0 ∘ (id + δ') ≈ W0 + ∇W0 · δ' — the analytic
+            # stencil gradient is a better-conditioned slope estimator
+            # than the trilinear cell slope at the near-knot positions the
+            # anchored residual lives at (same reasoning as the cascade's
+            # sub-voxel Taylor squarings, models/transformation.py:119-128);
+            # accuracy needs |δ'| ≲ 1, enforced by the re-anchor period +
+            # the clamp below
+            delta = jnp.clip(delta, -anchor_radius, anchor_radius)
+            w0 = anchor["W0"]
+            squeeze_w = w0.ndim == 3
+            if squeeze_w:
+                w0 = w0[None]
+            warped = w0 + jnp.einsum("cd...,d...->c...", anchor["GW0"], delta)
+            if squeeze_w:
+                warped = warped[0]
+        else:
+            warped = warp_bounded(anchor["W0"], delta, anchor_radius)
+        anchor_sat = jnp.sum(jnp.any(
+            jnp.abs(jax.lax.stop_gradient(delta)) >= anchor_radius, axis=0))
+    elif (integrate is not None
             and not getattr(bundle.transformation, "use_gather", False)
             and not post_noise):
         transformation, displacement, warped = integrate(v, im=moving["im"])
@@ -131,6 +180,7 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
         sat = jnp.sum(jnp.any(jnp.abs(d) >= clamp_bound, axis=0))
     else:
         sat = jnp.zeros((), jnp.int32)
+    sat = sat + anchor_sat
     return {
         "v": v,
         "transformation": transformation,

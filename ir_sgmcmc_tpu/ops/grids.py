@@ -92,6 +92,31 @@ def det_jacobian(jac: jnp.ndarray) -> jnp.ndarray:
     return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
 
 
+def inv_jacobian(jac: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate/det) inverse of a field Jacobian.
+
+    :param jac: ``(3, 3, D, H, W)`` as in :func:`det_jacobian`.
+    :return: ``(3, 3, D, H, W)`` per-voxel matrix inverse.
+
+    Used by the anchored residual warp (engine/mcmc.py): mapping a
+    transformation residual ``T - T0`` into the anchor's source frame
+    requires ``J_{T0}^{-1}``.  Near-singular voxels (folding transforms)
+    are guarded with a tiny determinant floor — the fold guard aborts such
+    runs anyway.
+    """
+    a, b, c = jac[0, 0], jac[0, 1], jac[0, 2]
+    d, e, f = jac[1, 0], jac[1, 1], jac[1, 2]
+    g, h, i = jac[2, 0], jac[2, 1], jac[2, 2]
+    det = det_jacobian(jac)
+    det = jnp.where(jnp.abs(det) < 1e-6, jnp.where(det < 0, -1e-6, 1e-6), det)
+    cof = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e]),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f]),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d]),
+    ])
+    return cof / det
+
+
 def count_non_diffeomorphic(det_J: jnp.ndarray) -> jnp.ndarray:
     """Number of voxels with non-positive Jacobian determinant.
 

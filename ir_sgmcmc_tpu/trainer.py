@@ -306,10 +306,12 @@ class Trainer:
         no_voxels = float(np.prod(self.bundle.dims))
         max_disp = getattr(self.bundle.transformation, "max_disp", None)
         msg = (
-            f"{phase} step {step}: displacement saturates the bounded-warp "
-            f"limit (max_disp={max_disp}) at {sat} voxels "
+            f"{phase} step {step}: displacement saturates a bounded-warp "
+            f"limit (max_disp={max_disp}, or the anchored-residual radius "
+            f"when mcmc_anchor is on) at {sat} voxels "
             f"({sat / no_voxels:.2%}) — results are clamped there; raise "
-            f"transformation_module.args.max_disp or set use_gather=true"
+            f"transformation_module.args.max_disp / trainer.anchor_radius, "
+            f"or set use_gather=true / mcmc_anchor=false"
         )
         if sat > self.sat_tol * no_voxels:
             raise DisplacementSaturationAbort(msg)
@@ -669,7 +671,21 @@ class Trainer:
                         bundle, self.opt_gmm, self.opt_reg, tau, fixed,
                         moving, chunk=this, burn_in=self.no_iters_burn_in,
                         thin=1, param_mode=self.mcmc_param_mode,
-                        chain_mesh=chain_mesh)
+                        chain_mesh=chain_mesh,
+                        # anchored residual warping (engine/mcmc.py) is
+                        # OFF by default: measured end-to-end, the per-step
+                        # re-resampling of the anchor image attenuates
+                        # voxel-scale texture, the residuals inherit the
+                        # mismatch, the GMM widens to cover it and the
+                        # flattened likelihood loses the registration
+                        # (BASELINE.md round 3 — negative result); the fast
+                        # exact path is the block-gather warp instead
+                        anchored=bool(self.t_cfg.get("mcmc_anchor", False)),
+                        anchor_radius=int(self.t_cfg.get("anchor_radius", 2)),
+                        anchor_mode=str(self.t_cfg.get("anchor_mode",
+                                                       "taylor")),
+                        anchor_period=int(self.t_cfg.get("anchor_period",
+                                                         25)))
                 mcmc, ms = chunk_fns[this](mcmc)
                 n -= this
             return mcmc, ms

@@ -77,6 +77,13 @@ def main(argv=None):
                         "gather warp at T+noise, utils/util.py:44-53; "
                         "~3x slower per transition), 'pre' = fast bounded "
                         "path (default from the config)")
+    p.add_argument("--no-anchor", action="store_true",
+                   help="with --noise-scheme post: per-sample exact gather "
+                        "instead of anchored residual warping in the MCMC "
+                        "loop")
+    p.add_argument("--anchor-radius", type=int, default=None)
+    p.add_argument("--anchor-mode", choices=["taylor", "blend"], default=None)
+    p.add_argument("--anchor-period", type=int, default=None)
     p.add_argument("--max-device-chunk", type=int, default=None,
                    help="cap on uninterrupted device-scan length (axon "
                         "worker stability boundary; the gather integrator "
@@ -134,6 +141,14 @@ def main(argv=None):
         cfg["trainer"]["max_device_chunk"] = args.max_device_chunk
     if args.noise_scheme is not None:
         cfg["trainer"].setdefault("uniform_noise", {})["scheme"] = args.noise_scheme
+    if args.no_anchor:
+        cfg["trainer"]["mcmc_anchor"] = False
+    if args.anchor_radius is not None:
+        cfg["trainer"]["anchor_radius"] = args.anchor_radius
+    if args.anchor_mode is not None:
+        cfg["trainer"]["anchor_mode"] = args.anchor_mode
+    if args.anchor_period is not None:
+        cfg["trainer"]["anchor_period"] = args.anchor_period
     config = Config(cfg, run_id="quality")
 
     la = cfg["data_loader"]["args"]

@@ -392,3 +392,111 @@ def test_post_noise_scheme_matches_reference_semantics():
         moving["im"], T + voxel_to_normalised(noise), mode="linear")
     np.testing.assert_allclose(np.asarray(out["warped"]),
                                np.asarray(expected), atol=1e-5)
+
+
+# ---- anchored residual warping ---------------------------------------------
+
+
+def test_anchored_forward_matches_exact_post_warp():
+    """Anchored residual warping (engine/mcmc.py make_chain_anchor):
+    at the anchor point the warp is EXACT (δ=0 blend is the identity on
+    W0 = moving ∘ T0); a small velocity perturbation reproduces the exact
+    single-gather warp to interpolation order."""
+    from dataclasses import replace
+
+    from ir_sgmcmc_tpu.engine.mcmc import make_chain_anchor
+    from ir_sgmcmc_tpu.engine.vi import forward_sample
+    from ir_sgmcmc_tpu.ops.resample import grid_sample
+
+    bundle = replace(_make_bundle(noise=None), noise_scheme="post")
+    fixed, moving = _data()
+    key = jax.random.PRNGKey(4)
+    v0 = jnp.asarray(
+        0.5 * np.random.default_rng(1).standard_normal((3,) + DIMS),
+        jnp.float32)
+
+    T0, _, _ = bundle.transformation.integrate(bundle.smooth(v0), im=None)
+    exact0 = grid_sample(moving["im"], T0, mode="linear")
+    v1 = v0 + 0.3
+    T1, _, _ = bundle.transformation.integrate(bundle.smooth(v1), im=None)
+    exact1 = grid_sample(moving["im"], T1, mode="linear")
+
+    # blend mode resamples W0 trilinearly; taylor mode expands W0 + ∇W0·δ
+    # (looser forward tolerance, better-behaved gradient — BASELINE.md r3)
+    for mode, ratio in (("blend", 0.4), ("taylor", 0.55)):
+        anchor = make_chain_anchor(bundle, moving, anchor_mode=mode)(v0)
+
+        # at the anchor: bit-for-bit the single gather warp
+        out0 = forward_sample(bundle, fixed, moving, v0, key, anchor=anchor)
+        np.testing.assert_allclose(np.asarray(out0["warped"]),
+                                   np.asarray(exact0), atol=1e-5)
+
+        # off the anchor (≈0.3-voxel residual): tracks the exact gather
+        # warp several times closer than a frozen anchor; the floor is the
+        # second resample / first-order expansion, not the residual frame
+        out1 = forward_sample(bundle, fixed, moving, v1, key, anchor=anchor)
+        err_anchored = np.abs(np.asarray(out1["warped"]) - np.asarray(exact1))
+        err_frozen = np.abs(np.asarray(out0["warped"]) - np.asarray(exact1))
+        assert err_anchored.mean() < ratio * err_frozen.mean(), mode
+        assert err_anchored.max() < 0.2, mode  # unit-intensity image
+
+
+def test_anchored_residual_saturation_surfaces_in_sat():
+    """Residuals beyond ``anchor_radius`` are clamped by the bounded blend
+    and must be counted in the ``sat`` guard channel."""
+    from dataclasses import replace
+
+    from ir_sgmcmc_tpu.engine.mcmc import make_chain_anchor
+    from ir_sgmcmc_tpu.engine.vi import forward_sample
+
+    bundle = replace(_make_bundle(noise=None), noise_scheme="post")
+    fixed, moving = _data()
+    key = jax.random.PRNGKey(5)
+    v0 = jnp.zeros((3,) + DIMS, jnp.float32)
+    anchor = make_chain_anchor(bundle, moving)(v0)
+
+    # 3-voxel translation off a zero anchor >> radius 1: most voxels clamp
+    v_far = jnp.full((3,) + DIMS, 3.0, jnp.float32)
+    out = forward_sample(bundle, fixed, moving, v_far, key,
+                         anchor=anchor, anchor_radius=1)
+    assert int(out["sat"]) > 0.5 * np.prod(DIMS)
+    # with a radius that covers the residual, no clamping is reported
+    out_ok = forward_sample(bundle, fixed, moving, v_far, key,
+                            anchor=anchor, anchor_radius=4)
+    assert int(out_ok["sat"]) == 0
+
+
+def test_anchored_mcmc_chunk_tracks_unanchored():
+    """An anchored post-noise MCMC chunk stays finite and tracks the exact
+    (per-step gather) chunk's data term — the anchored likelihood is a
+    controlled approximation, re-anchored each chunk."""
+    from dataclasses import replace
+
+    bundle = replace(_make_bundle(vd=True, noise=0.1), noise_scheme="post")
+    fixed, moving = _data()
+    opt_gmm = adam_decay(0.2, 0.001)
+    opt_reg = adam_decay(0.01, 0.001)
+
+    results = {}
+    for anchored in (False, True):
+        state = init_chains(
+            bundle, jax.random.PRNGKey(6), no_chains=2, mode="identity",
+            q_v=None, gmm=bundle.gmm.init_params(),
+            reg=bundle.reg_loss.init_params(),
+            opt_gmm=opt_gmm, opt_reg=opt_reg)
+        chunk = make_mcmc_chunk(
+            bundle, opt_gmm, opt_reg, tau=5e-4, fixed=fixed, moving=moving,
+            chunk=30, burn_in=10, thin=1, anchored=anchored, anchor_radius=2)
+        state, metrics = chunk(state)
+        mean, std = posterior_statistics(state)
+        results[anchored] = (np.asarray(metrics["data_term"]),
+                             np.asarray(mean), np.asarray(std))
+
+    d_exact, m_exact, s_exact = results[False]
+    d_anch, m_anch, s_anch = results[True]
+    assert np.isfinite(d_anch).all()
+    # identical SGLD noise streams, near-identical likelihoods: the data
+    # terms track closely through the run
+    rel = np.abs(d_anch - d_exact) / np.abs(d_exact)
+    assert rel.mean() < 0.05, f"mean relative data-term gap {rel.mean():.3f}"
+    np.testing.assert_allclose(m_anch, m_exact, atol=0.15)
