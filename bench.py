@@ -79,8 +79,9 @@ def _make_bundle_and_pair(noise_scheme="pre", **svf_kwargs):
 
     ``svf_kwargs`` forward to ``SVF3D`` (``unroll``, ``taylor_threshold``,
     ``use_gather``) so integrator perf variants can be timed from the CLI.
-    ``noise_scheme``: 'pre' (fast cascade warp) or 'post' (reference-exact
-    transformation noise — single-warp image path).
+    ``noise_scheme``: 'post' (default — reference-exact transformation
+    noise, single-resample image path via the block-gather warp) or 'pre'
+    (cascade warp: faster, measurably lower registration quality).
     """
     import jax.numpy as jnp
 
@@ -243,7 +244,7 @@ def main(argv=None):
     parser.add_argument("--taylor-threshold", type=float, default=None)
     parser.add_argument("--use-gather", action="store_true")
     parser.add_argument("--noise-scheme", choices=["pre", "post"],
-                        default="pre",
+                        default="post",
                         help="'post' = reference-exact transformation noise "
                              "(single-warp image path; anchored residual "
                              "warping in the MCMC loop unless --no-anchor)")

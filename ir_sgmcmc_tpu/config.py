@@ -163,6 +163,7 @@ class Config:
 
         sob = cfg.get("Sobolev_grad", {"enabled": False})
         noise = cfg["trainer"].get("uniform_noise", {"enabled": False})
+        bw = cfg["trainer"].get("block_warp", {})
 
         return ModelBundle(
             dims=dims,
@@ -177,7 +178,16 @@ class Config:
             sobolev_s=sob["s"] if sob.get("enabled") else None,
             sobolev_lambda=sob.get("lambda", 0.5),
             uniform_noise_alpha=noise["magnitude"] if noise.get("enabled") else None,
-            noise_scheme=noise.get("scheme", "pre"),
+            # 'post' (reference-exact noise semantics + single-resample
+            # image path, utils/util.py:44-53) is the default since round
+            # 3: warping the image *through* the squaring cascade ('pre')
+            # costs measurable registration quality (128³ Dice 0.963 vs
+            # 0.975 — BASELINE.md round 3), and the block-gather warp
+            # (ops/resample.py) makes the single-resample path fast on TPU
+            noise_scheme=noise.get("scheme", "post"),
+            block_warp=bool(bw.get("enabled", True)),
+            block_radius=int(bw.get("radius", 2)),
+            block_size=int(bw.get("block", 8)),
             virtual_decimation=bool(cfg.get("virtual_decimation", False)),
         )
 

@@ -34,15 +34,22 @@ class ModelBundle:
     sobolev_s: Optional[int] = 3
     sobolev_lambda: float = 0.5
     uniform_noise_alpha: Optional[float] = 0.1
-    # 'pre' (default, fast): jitter the cascade-warped image — noise in the
-    # pre-transform sampling position; 'post': exact reference semantics
-    # (warp the moving image at T + noise, utils/util.py:44-53) via the
-    # gather-based grid_sample — one global gather per sample (slower on
-    # TPU).  Measured pointwise discrepancy between the schemes on
-    # voxel-scale-textured volumes is the same order as the noise's own
-    # effect (see tests/test_engine.py::test_pre_vs_post_transform_noise*),
-    # though both dither the sampling position with the same amplitude.
-    noise_scheme: str = "pre"
+    # 'post' (default since round 3): exact reference semantics (warp the
+    # moving image ONCE at T + noise, utils/util.py:44-53) via the
+    # block-gather warp — a single resample of the image.  'pre' (opt-in
+    # fast path): jitter the cascade-warped image — noise in the
+    # pre-transform sampling position, and the image rides the squaring
+    # cascade (8 sequential resamples, whose compounded interpolation
+    # smoothing costs measurable registration quality: 128³ Dice 0.963 vs
+    # 0.975 — BASELINE.md round 3).
+    noise_scheme: str = "post"
+    # post-scheme single-resample warp implementation: block-gather (one
+    # coarse window gather + in-block residual blend — exact trilinear for
+    # in-block variation ≤ block_radius, ops/resample.py) instead of the
+    # per-voxel gather XLA serializes on TPU
+    block_warp: bool = True
+    block_radius: int = 2
+    block_size: int = 8
     virtual_decimation: bool = True
     _sobolev_kernel: Optional[jnp.ndarray] = field(default=None, repr=False)
 

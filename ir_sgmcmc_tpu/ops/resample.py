@@ -492,6 +492,206 @@ def _wb_bwd(radius, residuals, g):
 warp_bounded.defvjp(_wb_fwd, _wb_bwd)
 
 
+# ---- block-gather warp ------------------------------------------------------
+#
+# Exact trilinear warp for SMOOTH displacements of ANY bounded magnitude —
+# the TPU answer to the per-sample global warp of the post-noise scheme
+# (reference utils/util.py:44-53).  XLA lowers a 128³ per-voxel gather to a
+# serialized ~2M-index path (measured 55-180 ms — ~1600× off the HBM
+# roofline), but a Sobolev-smoothed displacement varies slowly: over an
+# 8³ block it stays within a couple of voxels of its block mean.  So:
+#
+#     d(x) = m_b + r(x),   m_b = round(mean_b d)  (integer, per block),
+#                          |r| ≤ spread_b + 0.5   (small)
+#
+# ONE coarse gather fetches each block's haloed window at offset m_b
+# (thousands of contiguous slabs instead of millions of scalar indices),
+# and the residual is blended inside the window with the same triangular
+# weights as :func:`warp_bounded` — EXACT trilinear interpolation whenever
+# |r| ≤ radius (clamped beyond; see :func:`block_residual_overflow`).
+
+
+def _block_means(disp_vox: jnp.ndarray, block: int, max_disp: float):
+    """Per-block rounded mean displacement ``(3, nbz, nby, nbx)`` (int32)."""
+    D, H, W = disp_vox.shape[-3:]
+    B = block
+    nb = (D // B, H // B, W // B)
+    d_blocks = disp_vox.reshape(3, nb[0], B, nb[1], B, nb[2], B)
+    m = jnp.round(d_blocks.mean(axis=(2, 4, 6)))
+    return jnp.clip(m, -max_disp, max_disp).astype(jnp.int32)
+
+
+def _gather_windows(vol: jnp.ndarray, m: jnp.ndarray, block: int, radius: int,
+                    pad: int):
+    """Haloed per-block windows of ``vol`` at the block offsets ``m``.
+
+    :param vol: ``(C, D, H, W)``.
+    :param m: ``(3, nbz, nby, nbx)`` int32 per-block integer displacement
+        (channel 0 = x/W, like ``disp_vox``).
+    :return: ``(nb, C, Ws, Ws, Ws)`` with ``Ws = block + 2*radius``.
+    """
+    C, D, H, W = vol.shape
+    B, R = block, radius
+    Ws = B + 2 * R
+    nbz, nby, nbx = m.shape[1:]
+    padded = jnp.pad(vol, [(0, 0)] + [(pad, pad)] * 3, mode="edge")
+    oz, oy, ox = jnp.meshgrid(
+        jnp.arange(nbz, dtype=jnp.int32) * B,
+        jnp.arange(nby, dtype=jnp.int32) * B,
+        jnp.arange(nbx, dtype=jnp.int32) * B, indexing="ij")
+    # start (z, y, x) in padded coords; m channel order is (x, y, z)
+    starts = jnp.stack([
+        oz + m[2].astype(jnp.int32) + (pad - R),
+        oy + m[1].astype(jnp.int32) + (pad - R),
+        ox + m[0].astype(jnp.int32) + (pad - R),
+    ], axis=-1).reshape(-1, 3)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+        start_index_map=(1, 2, 3))
+    return jax.lax.gather(
+        padded, starts, dnums, slice_sizes=(C, Ws, Ws, Ws),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _block_blend(windows, r, weights_fn, radius: int, block: int):
+    """Σ_o wz·wy·wx · window-slice over the ``(2R+1)³`` residual offsets.
+
+    ``weights_fn[axis](rc, o)`` gives the per-axis weight (``_tri_o``
+    forward, ``_dtri_o`` for the gradient blends); ``r`` is
+    ``(nb, 3, B, B, B)``.  Layout note: a blocks-last variant (block index
+    innermost, fully lane-aligned) was measured SLOWER on TPU — the
+    transposes cost more than XLA loses on the 12-wide inner dims.
+    """
+    R, B = radius, block
+    offsets = list(range(-R, R + 1))
+    rx, ry, rz = r[:, 0, None], r[:, 1, None], r[:, 2, None]  # (nb,1,B,B,B)
+    wx = [weights_fn[0](rx, o) for o in offsets]
+    wy = [weights_fn[1](ry, o) for o in offsets]
+    wz = [weights_fn[2](rz, o) for o in offsets]
+    acc = None
+    for iz, oz in enumerate(offsets):
+        win_z = jax.lax.slice_in_dim(windows, R + oz, R + oz + B, axis=-3)
+        for iy, oy in enumerate(offsets):
+            win_zy = jax.lax.slice_in_dim(win_z, R + oy, R + oy + B, axis=-2)
+            wzy = wz[iz] * wy[iy]
+            for ix, ox in enumerate(offsets):
+                slab = jax.lax.slice_in_dim(win_zy, R + ox, R + ox + B, axis=-1)
+                term = (wzy * wx[ix]) * slab
+                acc = term if acc is None else acc + term
+    return acc
+
+
+def _blocks_to_volume(blocks, nb, B, out_shape):
+    """(nb_total, C, B, B, B) -> (C, D, H, W)."""
+    C = blocks.shape[1]
+    v = blocks.reshape(nb[0], nb[1], nb[2], C, B, B, B)
+    return v.transpose(3, 0, 4, 1, 5, 2, 6).reshape((C,) + out_shape)
+
+
+def _volume_to_blocks(vol, nb, B):
+    """(C, D, H, W) -> (nb_total, C, B, B, B)."""
+    C = vol.shape[0]
+    v = vol.reshape(C, nb[0], B, nb[1], B, nb[2], B)
+    return v.transpose(1, 3, 5, 0, 2, 4, 6).reshape(-1, C, B, B, B)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def warp_block_gather(vol: jnp.ndarray, disp_vox: jnp.ndarray,
+                      max_disp: int, radius: int = 2,
+                      block: int = 8) -> jnp.ndarray:
+    """Warp ``vol`` by a smooth bounded displacement via block windows.
+
+    EXACT trilinear interpolation (same semantics as
+    ``grid_sample(vol, id + voxel_to_normalised(disp))``) whenever each
+    voxel's displacement stays within ``radius`` of its block's rounded
+    mean — i.e. for displacement fields whose in-block variation is small,
+    which Sobolev-smoothed diffeomorphic fields satisfy; voxels beyond are
+    clamped to the window edge (count them with
+    :func:`block_residual_overflow` — surface like saturation).
+
+    ``vol`` is treated as a CONSTANT (its cotangent is zero): the op exists
+    for the likelihood's image warp, where only the transformation carries
+    gradient.  Cotangents flow to ``disp_vox`` through the blend weights
+    (analytic, recomputed in the backward — no per-offset residuals).
+
+    :param vol: ``(D, H, W)`` or ``(C, D, H, W)``; spatial dims divisible
+        by ``block``.
+    :param disp_vox: ``(3, D, H, W)`` voxel-unit displacement
+        (channel 0 = x/W), ``|disp| ≤ max_disp``.
+    :param max_disp: static bound on ``|disp|`` (pads the volume once).
+    """
+    out, _ = _wbg_fwd(vol, disp_vox, max_disp, radius, block)
+    return out
+
+
+def _wbg_prep(vol, disp_vox, max_disp, radius, block):
+    squeeze = vol.ndim == 3
+    v4 = vol[None] if squeeze else vol
+    B, R = block, radius
+    nb = tuple(s // B for s in v4.shape[-3:])
+    m = _block_means(jax.lax.stop_gradient(disp_vox), B, max_disp)
+    pad = int(max_disp) + R + 1
+    windows = _gather_windows(jax.lax.stop_gradient(v4), m, B, R, pad)
+    m_full = jnp.repeat(jnp.repeat(jnp.repeat(
+        m, B, axis=1), B, axis=2), B, axis=3)
+    r = disp_vox - m_full.astype(disp_vox.dtype)
+    r_blocks = _volume_to_blocks(r, nb, B)  # (nb_total, 3, B, B, B)
+    return squeeze, v4, nb, windows, r_blocks
+
+
+def _wbg_fwd(vol, disp_vox, max_disp, radius, block):
+    squeeze, v4, nb, windows, r_blocks = _wbg_prep(
+        vol, disp_vox, max_disp, radius, block)
+    r_c = jnp.clip(r_blocks, -radius, radius)
+    out_blocks = _block_blend(windows, r_c, (_tri_o, _tri_o, _tri_o),
+                              radius, block)
+    out = _blocks_to_volume(out_blocks, nb, block, v4.shape[-3:])
+    out = out[0] if squeeze else out
+    return out, (vol, disp_vox)
+
+
+def _wbg_bwd(max_disp, radius, block, residuals, g):
+    vol, disp_vox = residuals
+    squeeze, v4, nb, windows, r_blocks = _wbg_prep(
+        vol, disp_vox, max_disp, radius, block)
+    r_c = jnp.clip(r_blocks, -radius, radius)
+    g4 = g[None] if g.ndim == 3 else g
+    g_blocks = _volume_to_blocks(g4, nb, block)  # (nb, C, B, B, B)
+    grads = []
+    for axis in range(3):
+        fns = [_tri_o] * 3
+        fns[axis] = _dtri_o
+        gb = _block_blend(windows, r_c, tuple(fns), radius, block)
+        grads.append(jnp.sum(gb * g_blocks, axis=1))  # sum channels
+    g_r = jnp.stack(grads, axis=1)  # (nb, 3, B, B, B)
+    g_r = jnp.where(jnp.abs(r_blocks) <= radius, g_r, 0.0)
+    g_disp = _blocks_to_volume(g_r, nb, block, v4.shape[-3:])
+    return jnp.zeros_like(vol), g_disp
+
+
+def _tri_o(t, o):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t - o))
+
+
+def _dtri_o(t, o):
+    return _dtri(t - o)
+
+
+warp_block_gather.defvjp(_wbg_fwd, _wbg_bwd)
+
+
+def block_residual_overflow(disp_vox: jnp.ndarray, max_disp: int,
+                            radius: int = 2, block: int = 8) -> jnp.ndarray:
+    """Voxels whose block residual exceeds ``radius`` (warp inexact there)."""
+    B = block
+    nb = tuple(s // B for s in disp_vox.shape[-3:])
+    m = _block_means(disp_vox, B, max_disp)
+    m_full = jnp.repeat(jnp.repeat(jnp.repeat(
+        m, B, axis=1), B, axis=2), B, axis=3)
+    r = disp_vox - m_full.astype(disp_vox.dtype)
+    return jnp.sum(jnp.any(jnp.abs(r) > radius, axis=0))
+
+
 def warp(moving: jnp.ndarray, transformation: jnp.ndarray, *, method: str = "linear") -> jnp.ndarray:
     """Warp an image/segmentation by a dense transformation.
 
