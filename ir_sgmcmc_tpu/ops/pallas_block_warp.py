@@ -1,0 +1,323 @@
+"""Pallas TPU kernels for the block-gather warp (single-resample image path).
+
+``ops.resample.warp_block_gather`` decomposes a smooth bounded displacement
+into per-8³-block integer means ``m`` plus a small residual ``r`` and
+evaluates an EXACT trilinear warp as window-fetch + in-window blend.  Its
+XLA formulation gathers 4096 ``(C, 12, 12, 12)`` windows — a layout whose
+12-wide minor dim pads to 128 lanes on TPU, turning a 28 MB fetch into
+~400 MB of tile-padding traffic (measured 16 ms at 128³, ~0.5% of the HBM
+roofline).  These kernels keep everything lane-aligned:
+
+* the grid walks ``(bz, by)`` block rows; ONE static-offset DMA per channel
+  fetches the ``(8+2p, 8+2p, W)`` neighbourhood that covers every in-range
+  integer shift — no dynamic-offset windows (Mosaic requires sublane starts
+  8-aligned and lane slices 128-aligned, so per-block window DMAs are not
+  expressible anyway);
+* the per-block x-shift (the lane dimension) is applied FIRST as a gather
+  **matmul on the MXU**: ``X_ox = S · P_ox`` with the one-hot matrix
+  ``P_ox[s, x] = 1[s == clamp(x + mx(block(x)) + ox, 0, W-1)]`` built from
+  iotas and the per-lane block-mean profile.  One-hot f32 matmuls are exact
+  (each output column selects a single input lane) and replace the
+  lane-shuffle enumeration that the VPU cannot express efficiently;
+* the z and y shifts are where-chains over the ``2·bound+1`` possible
+  integer means, masked by per-lane block profiles — leading-dim slices are
+  free and sublane slices are single shifts, so each chain costs one select
+  per candidate;
+* the ``(2R+1)³`` residual blend then runs on natural ``(8, 8, W)`` tiles
+  with triangular weights from the clipped residual, exactly like the XLA
+  path.
+
+Ordering note: the x-gather MUST run before the z/y selects.  Every stage's
+mask is indexed by the *output* lane's block; a cross-lane x-read performed
+after a masked stage would pick up data shifted with the neighbouring
+block's mean (the same contamination that forces halos in the XLA window
+formulation).  x-first reads raw data, and the z/y stages afterwards only
+ever read their own lane.
+
+Reference semantics: utils/util.py:44-53 + utils/registration.py:22-30 of
+/root/reference (single grid_sample at T+noise); parity is tested against
+``ops.resample.grid_sample`` via the XLA block-gather in
+tests/test_pallas_block_warp.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _tri(t):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _dtri(t):
+    return -jnp.sign(t) * (jnp.abs(t) < 1.0).astype(t.dtype)
+
+
+def _halo(bound: int, radius: int) -> int:
+    """z/y halo (rounded so the DMA window extent ``8+2p`` is 8-aligned)."""
+    p = bound + radius
+    return -(-p // 4) * 4
+
+
+def block_warp_pallas_applicable(vol_shape, bound: int, radius: int,
+                                 block: int) -> bool:
+    """Kernel constraints: B=8 blocks, lane-aligned W, 8-tileable z/y, and a
+    neighbourhood window that fits VMEM comfortably."""
+    D, H, W = vol_shape[-3:]
+    C = vol_shape[0] if len(vol_shape) == 4 else 1
+    if block != 8 or W % 128 != 0 or W > 512 or D % 8 != 0 or H % 8 != 0:
+        return False
+    if bound > 16 or radius > 4 or C > 4:
+        return False
+    WR = 8 + 2 * _halo(bound, radius)
+    # DMA window + per-variant gather output, ~6 arrays of (WR, WR, W)
+    return 8 * C * WR * WR * W * 4 < 48 * 1024 * 1024
+
+
+def _build_t2(scratch, mrow, *, C, R, BND, p8, W):
+    """Shared stage pipeline: x-gather matmul → z-select → y-select.
+
+    Returns ``t2[ox][c]`` of shape ``(TW, TW, W)`` with
+    ``t2[ox][c][zi, yi, x] = Vpad[bz·8 + zi - R + mz, by·8 + yi - R + my,
+    clamp(x + mx + ox)]`` where ``(mx, my, mz)`` are this lane's block
+    means — i.e. the per-block haloed window of the XLA formulation, in
+    lane-natural layout.
+    """
+    WR = 8 + 2 * p8
+    TW = 8 + 2 * R
+    mxl = mrow[0:1].astype(jnp.int32)  # (1, W)
+    myl = mrow[1:2].astype(jnp.int32)
+    mzl = mrow[2:3].astype(jnp.int32)
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    iota_o = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    s2 = scratch[:].reshape(C * WR * WR, W)
+
+    offsets = list(range(-R, R + 1))
+    t2 = []
+    for ox in offsets:
+        xsrc = jnp.clip(iota_o + jnp.broadcast_to(mxl, (W, W)) + ox, 0, W - 1)
+        p_ox = (iota_s == xsrc).astype(jnp.float32)
+        # HIGHEST precision: the default bf16 MXU pass rounds the volume's
+        # mantissa to 8 bits even though P is one-hot (measured 2e-3 error);
+        # the bf16x3 scheme reproduces f32 to ~1e-7
+        x_all = jax.lax.dot_general(
+            s2, p_ox, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        per_c = []
+        for c in range(C):
+            xc = x_all[c * WR * WR:(c + 1) * WR * WR].reshape(WR, WR, W)
+            # z-select: leading-dim slices are free; one select per k
+            t1 = jnp.zeros((TW, WR, W), jnp.float32)
+            for k in range(-BND, BND + 1):
+                sl = jax.lax.slice_in_dim(xc, k + p8 - R, k + p8 - R + TW, axis=0)
+                t1 = jnp.where(mzl == k, sl, t1)
+            # y-select: sublane slices are single shifts
+            t2c = jnp.zeros((TW, TW, W), jnp.float32)
+            for k in range(-BND, BND + 1):
+                sl = jax.lax.slice_in_dim(t1, k + p8 - R, k + p8 - R + TW, axis=1)
+                t2c = jnp.where(myl == k, sl, t2c)
+            per_c.append(t2c)
+        t2.append(per_c)
+    return t2
+
+
+def _bg_fwd_kernel(mprof_ref, r_ref, vol_hbm, out_ref, scratch, sem,
+                   *, C, R, BND, p8, W, NBY):
+    i = pl.program_id(0)
+    bz = i // NBY
+    by = i % NBY
+    WR = 8 + 2 * p8
+    Dp = (pl.num_programs(0) // NBY) * 8 + 2 * p8
+
+    dmas = [
+        pltpu.make_async_copy(
+            vol_hbm.at[pl.ds(c * Dp + bz * 8, WR), pl.ds(by * 8, WR)],
+            scratch.at[pl.ds(c * WR, WR)], sem)
+        for c in range(C)
+    ]
+    for dma in dmas:
+        dma.start()
+    for dma in dmas:
+        dma.wait()
+
+    t2 = _build_t2(scratch, mprof_ref[0], C=C, R=R, BND=BND, p8=p8, W=W)
+
+    offsets = list(range(-R, R + 1))
+    rx, ry, rz = r_ref[0], r_ref[1], r_ref[2]  # (8, 8, W)
+    wx = [_tri(rx - o) for o in offsets]
+    wy = [_tri(ry - o) for o in offsets]
+    wz = [_tri(rz - o) for o in offsets]
+
+    for c in range(C):
+        acc = jnp.zeros((8, 8, W), jnp.float32)
+        for iz, oz in enumerate(offsets):
+            zslabs = [jax.lax.slice_in_dim(t2[ix][c], R + oz, R + oz + 8, axis=0)
+                      for ix in range(len(offsets))]
+            for iy, oy in enumerate(offsets):
+                wzy = wz[iz] * wy[iy]
+                inner = None
+                for ix in range(len(offsets)):
+                    slab = jax.lax.slice_in_dim(
+                        zslabs[ix], R + oy, R + oy + 8, axis=1)
+                    term = wx[ix] * slab
+                    inner = term if inner is None else inner + term
+                acc = acc + wzy * inner
+        out_ref[c] = acc
+
+
+def _bg_dgrad_kernel(mprof_ref, r_ref, g_ref, vol_hbm, out_ref, scratch, sem,
+                     *, C, R, BND, p8, W, NBY):
+    i = pl.program_id(0)
+    bz = i // NBY
+    by = i % NBY
+    WR = 8 + 2 * p8
+    Dp = (pl.num_programs(0) // NBY) * 8 + 2 * p8
+
+    dmas = [
+        pltpu.make_async_copy(
+            vol_hbm.at[pl.ds(c * Dp + bz * 8, WR), pl.ds(by * 8, WR)],
+            scratch.at[pl.ds(c * WR, WR)], sem)
+        for c in range(C)
+    ]
+    for dma in dmas:
+        dma.start()
+    for dma in dmas:
+        dma.wait()
+
+    t2 = _build_t2(scratch, mprof_ref[0], C=C, R=R, BND=BND, p8=p8, W=W)
+
+    offsets = list(range(-R, R + 1))
+    rx, ry, rz = r_ref[0], r_ref[1], r_ref[2]
+    wx = [_tri(rx - o) for o in offsets]
+    dwx = [_dtri(rx - o) for o in offsets]
+    wy = [_tri(ry - o) for o in offsets]
+    dwy = [_dtri(ry - o) for o in offsets]
+    wz = [_tri(rz - o) for o in offsets]
+    dwz = [_dtri(rz - o) for o in offsets]
+    gs = [g_ref[c] for c in range(C)]
+
+    acc_x = jnp.zeros((8, 8, W), jnp.float32)
+    acc_y = jnp.zeros((8, 8, W), jnp.float32)
+    acc_z = jnp.zeros((8, 8, W), jnp.float32)
+    for iz, oz in enumerate(offsets):
+        zslabs = [[jax.lax.slice_in_dim(t2[ix][c], R + oz, R + oz + 8, axis=0)
+                   for c in range(C)] for ix in range(len(offsets))]
+        for iy, oy in enumerate(offsets):
+            wzy = wz[iz] * wy[iy]
+            w_dzy = dwz[iz] * wy[iy]
+            w_zdy = wz[iz] * dwy[iy]
+            for ix in range(len(offsets)):
+                sg = None
+                for c in range(C):
+                    slab = jax.lax.slice_in_dim(
+                        zslabs[ix][c], R + oy, R + oy + 8, axis=1)
+                    t = gs[c] * slab
+                    sg = t if sg is None else sg + t
+                acc_x = acc_x + dwx[ix] * (wzy * sg)
+                acc_y = acc_y + wx[ix] * (w_zdy * sg)
+                acc_z = acc_z + wx[ix] * (w_dzy * sg)
+    out_ref[0] = acc_x
+    out_ref[1] = acc_y
+    out_ref[2] = acc_z
+
+
+def _prep_operands(vol4, m, bound, radius):
+    """Padded flat volume + per-lane block-mean profile (shared fwd/bwd)."""
+    C, D, H, W = vol4.shape
+    p8 = _halo(bound, radius)
+    padded = jnp.pad(vol4, [(0, 0), (p8, p8), (p8, p8), (0, 0)], mode="edge")
+    flat = padded.reshape(C * (D + 2 * p8), H + 2 * p8, W)
+    # m: (3, nbz, nby, nbx) → per-(bz,by) lane profile rows [mx, my, mz]
+    nbz, nby = m.shape[1], m.shape[2]
+    prof = jnp.repeat(m, 8, axis=3)                    # (3, nbz, nby, W)
+    prof = prof.transpose(1, 2, 0, 3)                  # (nbz, nby, 3, W)
+    prof = jnp.pad(prof, [(0, 0), (0, 0), (0, 5), (0, 0)])
+    return flat, prof.reshape(nbz * nby, 8, W), p8
+
+
+@functools.partial(jax.jit, static_argnames=("bound", "radius", "interpret"))
+def block_warp_pallas(vol4, r_clip, m, bound: int, radius: int,
+                      interpret: bool = False):
+    """Forward block-gather warp: ``vol4 (C, D, H, W)``, clipped residual
+    ``r_clip (3, D, H, W)``, block means ``m (3, nbz, nby, nbx)`` int32."""
+    @jax.custom_batching.sequential_vmap
+    def call(vol4, r_clip, m):
+        C, D, H, W = vol4.shape
+        nby = H // 8
+        flat, mprof, p8 = _prep_operands(vol4, m, bound, radius)
+        WR = 8 + 2 * p8
+        return pl.pallas_call(
+            functools.partial(_bg_fwd_kernel, C=C, R=int(radius),
+                              BND=int(bound), p8=p8, W=W, NBY=nby),
+            grid=((D // 8) * nby,),
+            in_specs=[
+                pl.BlockSpec((1, 8, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 8, 8, W),
+                             lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, 8, 8, W), lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, D, H, W), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((C * WR, WR, W), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(mprof, r_clip, flat)
+
+    return call(vol4, r_clip, m)
+
+
+@functools.partial(jax.jit, static_argnames=("bound", "radius", "interpret"))
+def block_warp_dgrad_pallas(vol4, r_clip, m, g, bound: int, radius: int,
+                            interpret: bool = False):
+    """Residual-gradient pass: returns dU/dr (3, D, H, W) given cotangent
+    ``g (C, D, H, W)``; out-of-radius masking is applied by the caller."""
+    @jax.custom_batching.sequential_vmap
+    def call(vol4, r_clip, m, g):
+        C, D, H, W = vol4.shape
+        nby = H // 8
+        flat, mprof, p8 = _prep_operands(vol4, m, bound, radius)
+        WR = 8 + 2 * p8
+        return pl.pallas_call(
+            functools.partial(_bg_dgrad_kernel, C=C, R=int(radius),
+                              BND=int(bound), p8=p8, W=W, NBY=nby),
+            grid=((D // 8) * nby,),
+            in_specs=[
+                pl.BlockSpec((1, 8, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 8, 8, W),
+                             lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, 8, 8, W),
+                             lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, 8, 8, W), lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, D, H, W), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((C * WR, WR, W), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(mprof, r_clip, g, flat)
+
+    return call(vol4, r_clip, m, g)

@@ -639,7 +639,44 @@ def _wbg_prep(vol, disp_vox, max_disp, radius, block):
     return squeeze, v4, nb, windows, r_blocks
 
 
+def _use_block_pallas(vol_shape, max_disp, radius, block):
+    """Pallas dispatch for the block-gather warp (same override knob as the
+    bounded warp — ``set_pallas_mode``)."""
+    from .pallas_block_warp import block_warp_pallas_applicable
+
+    if _PALLAS_OVERRIDE is False:
+        return False
+    if not block_warp_pallas_applicable(vol_shape, int(max_disp),
+                                        int(radius), int(block)):
+        return False
+    if _PALLAS_OVERRIDE == "interpret":
+        return "interpret"
+    return jax.default_backend() == "tpu"
+
+
+def _wbg_prep_pallas(vol, disp_vox, max_disp, radius, block):
+    """Shared Pallas-path prep: block means + clipped volume-layout residual."""
+    squeeze = vol.ndim == 3
+    v4 = vol[None] if squeeze else vol
+    m = _block_means(jax.lax.stop_gradient(disp_vox), block, max_disp)
+    m_full = jnp.repeat(jnp.repeat(jnp.repeat(
+        m, block, axis=1), block, axis=2), block, axis=3)
+    r_raw = disp_vox - m_full.astype(disp_vox.dtype)
+    return squeeze, v4, m, r_raw
+
+
 def _wbg_fwd(vol, disp_vox, max_disp, radius, block):
+    mode = _use_block_pallas(vol.shape, max_disp, radius, block)
+    if mode:
+        from .pallas_block_warp import block_warp_pallas
+
+        squeeze, v4, m, r_raw = _wbg_prep_pallas(
+            vol, disp_vox, max_disp, radius, block)
+        r_c = jnp.clip(r_raw, -radius, radius)
+        out = block_warp_pallas(jax.lax.stop_gradient(v4), r_c, m,
+                                int(max_disp), int(radius),
+                                interpret=mode == "interpret")
+        return (out[0] if squeeze else out), (vol, disp_vox)
     squeeze, v4, nb, windows, r_blocks = _wbg_prep(
         vol, disp_vox, max_disp, radius, block)
     r_c = jnp.clip(r_blocks, -radius, radius)
@@ -652,6 +689,19 @@ def _wbg_fwd(vol, disp_vox, max_disp, radius, block):
 
 def _wbg_bwd(max_disp, radius, block, residuals, g):
     vol, disp_vox = residuals
+    mode = _use_block_pallas(vol.shape, max_disp, radius, block)
+    if mode:
+        from .pallas_block_warp import block_warp_dgrad_pallas
+
+        squeeze, v4, m, r_raw = _wbg_prep_pallas(
+            vol, disp_vox, max_disp, radius, block)
+        r_c = jnp.clip(r_raw, -radius, radius)
+        g4 = g[None] if g.ndim == 3 else g
+        g_r = block_warp_dgrad_pallas(jax.lax.stop_gradient(v4), r_c, m, g4,
+                                      int(max_disp), int(radius),
+                                      interpret=mode == "interpret")
+        g_disp = jnp.where(jnp.abs(r_raw) <= radius, g_r, 0.0)
+        return jnp.zeros_like(vol), g_disp
     squeeze, v4, nb, windows, r_blocks = _wbg_prep(
         vol, disp_vox, max_disp, radius, block)
     r_c = jnp.clip(r_blocks, -radius, radius)
