@@ -158,7 +158,7 @@ class Config:
             max_disp=t_cfg["args"].get("max_disp", 8),
             use_gather=t_cfg["args"].get("use_gather", False),
             taylor_threshold=t_cfg["args"].get("taylor_threshold", 0.5),
-            unroll=t_cfg["args"].get("unroll", False),
+            unroll=t_cfg["args"].get("unroll", None),
         )
 
         sob = cfg.get("Sobolev_grad", {"enabled": False})
