@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..ops.bspline import CubicBSplineFFD3D, control_grid_size
 from ..ops.grids import identity_grid, normalised_to_voxel, voxel_to_normalised
 from ..ops.resample import grid_sample, grid_sample_2d, warp_bounded
-from ..ops.stencil import gradient
+from ..ops.stencil import taylor_squaring_step
 
 
 class SVF3D:
@@ -137,9 +137,10 @@ class SVF3D:
                 # analytic transpose) measured 4.05/2.36 ms fwd/bwd per
                 # 128³ step vs XLA's 1.45/1.7 — Mosaic per-slice overhead
                 # dominates this low-arithmetic stencil, and in-scan XLA
-                # fuses it to ~0.9 ms fwd+bwd.
-                J = gradient(d)
-                return 2.0 * d + jnp.sum(J * d[None, :], axis=1), None
+                # fuses it to ~0.9 ms fwd+bwd.  The step uses the
+                # Jacobian-free custom-VJP form (ops/stencil.py) so
+                # autodiff never stores the 9-channel J as a residual.
+                return taylor_squaring_step(d), None
 
             disp, _ = jax.lax.scan(taylor_squaring, disp, None,
                                    length=self.no_taylor, unroll=self._unroll)

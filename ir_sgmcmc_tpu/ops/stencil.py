@@ -13,6 +13,7 @@ Reference semantics:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .grids import det_jacobian
@@ -109,6 +110,66 @@ def gradient(field: jnp.ndarray, *, normalised_spacing: bool = False) -> jnp.nda
     return jnp.stack([d_dx, d_dy, d_dz], axis=field.ndim - 3)
 
 
+def _fwd_diff_axis(field: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Forward difference with the trailing edge replicated (see gradient)."""
+    n = field.shape[axis]
+    sl_hi = [slice(None)] * field.ndim
+    sl_lo = [slice(None)] * field.ndim
+    sl_hi[axis] = slice(1, n)
+    sl_lo[axis] = slice(0, n - 1)
+    d = field[tuple(sl_hi)] - field[tuple(sl_lo)]
+    return _replicate_pad_axis(d, axis, 0, 1)
+
+
+def _taylor_squaring_impl(d: jnp.ndarray) -> jnp.ndarray:
+    # accumulate (d·∇)d one derivative axis at a time — NEVER materialising
+    # the (3, 3, D, H, W) Jacobian (72 MB at 128³)
+    out = 2.0 * d
+    for c, axis in ((0, -1), (1, -2), (2, -3)):
+        out = out + _fwd_diff_axis(d, axis) * d[c][None]
+    return out
+
+
+@jax.custom_vjp
+def taylor_squaring_step(d: jnp.ndarray) -> jnp.ndarray:
+    """One second-order scaling-and-squaring step ``d' = 2d + (d·∇)d``.
+
+    Equal to ``2d + Σ_a J[:, a]·d_a`` with ``J = gradient(d)`` (the Taylor
+    form of ``u ∘ (id+u)``, models/transformation.py), but with an analytic
+    VJP: plain autodiff stores the 9-channel Jacobian as a residual per
+    step — 72 MB at 128³, ~650 MB of HBM round-trips across the 9-step
+    chain — while this form saves only ``d`` (the scan carry, already live)
+    and rebuilds the three directional differences in the backward.
+
+    VJP (``D_a`` = forward-difference-with-replicated-edge along axis a):
+        ḡ_k = 2 g_k + D_aᵀ(g_k · d_a) summed over a,
+              + Σ_i g_i · (D_k d)_i          (the transport term's factor),
+    with ``D_aᵀ`` obtained by ``jax.linear_transpose`` at trace time (it
+    lowers to the same shift/slice ops as a hand-written adjoint).
+    """
+    return _taylor_squaring_impl(d)
+
+
+def _taylor_fwd(d):
+    return _taylor_squaring_impl(d), d
+
+
+def _taylor_bwd(d, g):
+    gd = 2.0 * g
+    for c, axis in ((0, -1), (1, -2), (2, -3)):
+        diff = _fwd_diff_axis(d, axis)        # (3, D, H, W)
+        # transport term: ḡ_c += Σ_i g_i (D_axis d)_i
+        gd = gd.at[c].add(jnp.sum(g * diff, axis=0))
+        # difference term: ḡ += D_axisᵀ(g · d_c), channelwise
+        transpose = jax.linear_transpose(
+            lambda u: _fwd_diff_axis(u, axis), g)
+        gd = gd + transpose(g * d[c][None])[0]
+    return (gd,)
+
+
+taylor_squaring_step.defvjp(_taylor_fwd, _taylor_bwd)
+
+
 def reg_energy(field: jnp.ndarray) -> jnp.ndarray:
     """Squared Frobenius norm of the field Jacobian, ``y = sum ||∇v||²``.
 
@@ -130,8 +191,6 @@ def log_det_jacobian(transformation: jnp.ndarray) -> jnp.ndarray:
     inputs are mapped over the leading axis.
     """
     if transformation.ndim == 5:
-        import jax
-
         return jax.vmap(log_det_jacobian)(transformation)
     jac = gradient(transformation, normalised_spacing=True)
     return jnp.log(det_jacobian(jac))

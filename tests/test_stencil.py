@@ -121,3 +121,26 @@ def test_reg_energy_batched_matches_loop():
     batched = np.asarray(reg_energy(v))
     single = np.array([np.asarray(reg_energy(v[i])) for i in range(2)])
     np.testing.assert_allclose(batched, single, rtol=1e-5)
+
+
+def test_taylor_squaring_step_matches_jacobian_form():
+    """The Jacobian-free custom-VJP step equals 2d + Σ_a J[:,a]·d_a, values
+    and gradients (the form models/transformation.py's scan body uses)."""
+    import jax
+
+    from ir_sgmcmc_tpu.ops.stencil import gradient, taylor_squaring_step
+
+    rng = np.random.default_rng(11)
+    d = jnp.asarray(rng.standard_normal((3, 6, 7, 8)).astype(np.float32)) * 0.4
+
+    def ref(x):
+        return 2.0 * x + jnp.sum(gradient(x) * x[None, :], axis=1)
+
+    np.testing.assert_allclose(np.asarray(taylor_squaring_step(d)),
+                               np.asarray(ref(d)), atol=1e-6)
+
+    cot = jnp.asarray(rng.standard_normal(d.shape).astype(np.float32))
+    g_new = jax.grad(lambda x: jnp.sum(taylor_squaring_step(x) * cot))(d)
+    g_ref = jax.grad(lambda x: jnp.sum(ref(x) * cot))(d)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=2e-6, rtol=1e-5)
