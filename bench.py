@@ -33,7 +33,7 @@ import sys
 import time
 from pathlib import Path
 
-DIMS = (128, 128, 128)
+DIMS = (128, 128, 128)  # override with --dims N (cube)
 CHAINS = 2
 TIMED_STEPS = 20
 VI_TIMED_STEPS = 20
@@ -74,7 +74,7 @@ def measure_torch_baseline(refresh: bool = False) -> dict:
     return stats
 
 
-def _make_bundle_and_pair(noise_scheme="pre", **svf_kwargs):
+def _make_bundle_and_pair(noise_scheme="pre", dims=None, **svf_kwargs):
     """Experiment-1 model + synthetic 128^3 pair (shared by both phases).
 
     ``svf_kwargs`` forward to ``SVF3D`` (``unroll``, ``taylor_threshold``,
@@ -96,7 +96,7 @@ def _make_bundle_and_pair(noise_scheme="pre", **svf_kwargs):
     )
     from ir_sgmcmc_tpu.models.reg_loss import RegLossLogNormal
 
-    dims = DIMS
+    dims = DIMS if dims is None else dims
     dof = 3.0 * dims[0] * dims[1] * dims[2]
     bundle = ModelBundle(
         dims=dims,
@@ -120,20 +120,23 @@ def _make_bundle_and_pair(noise_scheme="pre", **svf_kwargs):
 
 
 def measure_tpu(trace_dir: str | None = None, noise_scheme="pre",
-                anchored=False, anchor_radius=2, **svf_kwargs) -> dict:
+                anchored=False, anchor_radius=2, dims=None, chains=None,
+                **svf_kwargs) -> dict:
     import jax
     import jax.numpy as jnp
 
     from ir_sgmcmc_tpu.engine import init_chains, make_mcmc_chunk
     from ir_sgmcmc_tpu.optim import adam_decay
 
-    bundle, fixed, moving = _make_bundle_and_pair(noise_scheme, **svf_kwargs)
+    chains = CHAINS if chains is None else chains
+    bundle, fixed, moving = _make_bundle_and_pair(noise_scheme, dims=dims,
+                                                  **svf_kwargs)
 
     opt_gmm = adam_decay(0.2, 0.001)
     opt_reg = adam_decay({"loc": 0.01, "log_scale": 0.01}, 0.001)
 
     state = init_chains(
-        bundle, jax.random.PRNGKey(0), no_chains=CHAINS, mode="noise",
+        bundle, jax.random.PRNGKey(0), no_chains=chains, mode="noise",
         q_v=None, gmm=bundle.gmm.init_params(), reg=bundle.reg_loss.init_params(),
         opt_gmm=opt_gmm, opt_reg=opt_reg,
     )
@@ -162,7 +165,7 @@ def measure_tpu(trace_dir: str | None = None, noise_scheme="pre",
 
     mean = sum(times) / len(times)
     return {
-        "samples_per_sec": CHAINS * TIMED_STEPS / mean,
+        "samples_per_sec": chains * TIMED_STEPS / mean,
         "per_chunk_s": [round(t, 3) for t in times],
         "spread_rel": (max(times) - min(times)) / mean,
     }
@@ -253,6 +256,14 @@ def main(argv=None):
                              "residual warping (known quality regression - "
                              "BASELINE.md round 3)")
     parser.add_argument("--anchor-radius", type=int, default=2)
+    parser.add_argument("--chains", type=int, default=None,
+                        help="chain count (default 2; 256^3 with 2 chains "
+                             "exceeds one chip's 16 GB HBM - use 1, or "
+                             "shard chains over a slice)")
+    parser.add_argument("--dims", type=int, default=None, metavar="N",
+                        help="cube edge length (default 128); the torch-CPU "
+                             "anchor and vs_baseline are only reported at "
+                             "the canonical 128")
     args = parser.parse_args(argv)
 
     svf_kwargs = {}
@@ -277,9 +288,30 @@ def main(argv=None):
         }))
         return
 
+    dims = None if args.dims is None else (args.dims,) * 3
+    if dims is not None and dims != DIMS:
+        # non-canonical scale: no torch anchor (a single 256^3 torch-CPU
+        # transition is ~2.5 minutes; the 20-transition protocol is
+        # impractical) — report raw device throughput
+        tpu = measure_tpu(trace_dir=args.trace,
+                          noise_scheme=args.noise_scheme,
+                          anchored=args.anchor,
+                          anchor_radius=args.anchor_radius, dims=dims,
+                          chains=args.chains, **svf_kwargs)
+        nch = CHAINS if args.chains is None else args.chains
+        print(json.dumps({
+            "metric": f"sgmcmc_samples_per_sec_{args.dims}cubed_{nch}chains",
+            "value": round(tpu["samples_per_sec"], 3),
+            "unit": "samples/sec",
+            "noise_scheme": args.noise_scheme,
+            "spread_rel": round(tpu["spread_rel"], 4),
+            "timed_chunks_s": tpu["per_chunk_s"],
+        }))
+        return
+
     baseline = measure_torch_baseline(refresh=args.refresh_baseline)
     tpu = measure_tpu(trace_dir=args.trace, noise_scheme=args.noise_scheme,
-                      anchored=args.anchor,
+                      anchored=args.anchor, chains=args.chains,
                       anchor_radius=args.anchor_radius, **svf_kwargs)
     print(json.dumps({
         "metric": "sgmcmc_samples_per_sec_128cubed_2chains",

@@ -462,12 +462,18 @@ def make_mcmc_chunk(
         and not getattr(bundle.transformation, "use_gather", False)
     )
 
-    anchor_fn = None
-    if param_mode == "shared":
-        vtransition = make_sgld_transition_shared(
-            bundle, opt_gmm, opt_reg, tau, fixed, moving
-        )
-    else:
+    # NOTE: the transition builders run INSIDE the traced function below so
+    # that ``fixed``/``moving`` enter the jitted module as PARAMETERS, not
+    # closed-over literals — closure arrays are embedded in the StableHLO
+    # as dense constants, which at 256³ makes a ~134 MB module that
+    # overflows the remote-compile transport (and bloats every cache entry)
+    def _build(fixed, moving):
+        anchor_fn = None
+        if param_mode == "shared":
+            vtransition = make_sgld_transition_shared(
+                bundle, opt_gmm, opt_reg, tau, fixed, moving
+            )
+            return vtransition, anchor_fn
         transition = make_sgld_transition(
             bundle, opt_gmm, opt_reg, tau, fixed, moving,
             anchored=anchored, anchor_radius=anchor_radius)
@@ -501,8 +507,9 @@ def make_mcmc_chunk(
                 out_specs=PartitionSpec("chain"),
                 check_vma=False,
             )
+        return vtransition, anchor_fn
 
-    def make_body(anchor):
+    def make_body(vtransition, anchor):
         def body(state: MCMCState, _):
             step = state.step + 1
             collect = jnp.logical_and(step > burn_in, (step - burn_in) % thin == 0)
@@ -526,9 +533,11 @@ def make_mcmc_chunk(
 
         return body
 
-    def run(state: MCMCState):
+    def run(state: MCMCState, fixed, moving):
+        vtransition, anchor_fn = _build(fixed, moving)
         if anchor_fn is None:
-            return jax.lax.scan(make_body(None), state, None, length=chunk)
+            return jax.lax.scan(make_body(vtransition, None), state, None,
+                                length=chunk)
         # re-anchor every ``anchor_period`` steps (bounds the residual the
         # per-step warp must cover): nested scan — the outer body pays one
         # gather, the inner scan rides it as an invariant; a non-dividing
@@ -538,7 +547,8 @@ def make_mcmc_chunk(
         def block_of(n):
             def block(state, _):
                 anchor = anchor_fn(state.v)
-                return jax.lax.scan(make_body(anchor), state, None, length=n)
+                return jax.lax.scan(make_body(vtransition, anchor), state,
+                                    None, length=n)
             return block
 
         parts = []
@@ -557,7 +567,25 @@ def make_mcmc_chunk(
         ms = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         return state, ms
 
-    return jax.jit(run, donate_argnums=0)
+    # Below ~32 MB the images are baked into the module as literals (the
+    # long-standing behaviour: replicated constants, zero collectives even
+    # for gather-based paths under GSPMD).  Large volumes become jit
+    # PARAMETERS instead: a closed-over 256³ pair embeds ~134 MB of dense
+    # literals in the StableHLO, overflowing the remote-compile transport.
+    image_bytes = sum(x.size * x.dtype.itemsize
+                      for d in (fixed, moving) for x in jax.tree.leaves(d))
+    if image_bytes <= 32 * 1024 * 1024:
+        return jax.jit(lambda state: run(state, fixed, moving),
+                       donate_argnums=0)
+
+    jit_run = jax.jit(run, donate_argnums=0)
+
+    def chunk_fn(state: MCMCState):
+        return jit_run(state, fixed, moving)
+
+    # expose lower/compile for the HLO audit tests (same traced signature)
+    chunk_fn.lower = lambda state: jit_run.lower(state, fixed, moving)
+    return chunk_fn
 
 
 def posterior_statistics(state: MCMCState):

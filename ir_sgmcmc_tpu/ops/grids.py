@@ -32,13 +32,24 @@ def identity_grid(shape) -> jnp.ndarray:
         varies along the W axis, channel 1 along H, channel 2 along D.
 
     Reference semantics: /root/reference/utils/util.py:263-278.
+
+    Built from ``broadcasted_iota`` so that a call made during tracing
+    stays SYMBOLIC: a precomputed grid closed over by a jitted function is
+    embedded in the HLO as a literal — 192 MB at 256³, which overflows the
+    remote-compile transport (HTTP 413) and bloats every module.
     """
+    import jax
+
     D, H, W = shape
-    x = jnp.linspace(-1.0, 1.0, W, dtype=jnp.float32)
-    y = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)
-    z = jnp.linspace(-1.0, 1.0, D, dtype=jnp.float32)
-    zz, yy, xx = jnp.meshgrid(z, y, x, indexing="ij")
-    return jnp.stack([xx, yy, zz], axis=0)
+
+    def axis_coords(n: int, axis: int) -> jnp.ndarray:
+        if n == 1:
+            return jnp.full((D, H, W), -1.0, jnp.float32)
+        i = jax.lax.broadcasted_iota(jnp.float32, (D, H, W), axis)
+        return 2.0 * i / (n - 1) - 1.0
+
+    return jnp.stack([axis_coords(W, 2), axis_coords(H, 1),
+                      axis_coords(D, 0)], axis=0)
 
 
 def _axis_sizes(shape):
