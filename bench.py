@@ -171,7 +171,8 @@ def measure_tpu(trace_dir: str | None = None, noise_scheme="pre",
     }
 
 
-def measure_vi(trace_dir: str | None = None, noise_scheme="pre", **svf_kwargs) -> dict:
+def measure_vi(trace_dir: str | None = None, noise_scheme="pre", dims=None,
+               **svf_kwargs) -> dict:
     """Time the VI iteration (VERDICT r2 weak #7 — bench.py timed MCMC only).
 
     One VI iteration = 2 antithetic forward+backward passes through the full
@@ -184,14 +185,15 @@ def measure_vi(trace_dir: str | None = None, noise_scheme="pre", **svf_kwargs) -
     from ir_sgmcmc_tpu.engine.vi import VIState, gmm_warmup, make_vi_chunk, make_vi_step
     from ir_sgmcmc_tpu.optim import adam_decay
 
-    bundle, fixed, moving = _make_bundle_and_pair(noise_scheme, **svf_kwargs)
+    bundle, fixed, moving = _make_bundle_and_pair(noise_scheme, dims=dims,
+                                                  **svf_kwargs)
 
     # experiment-1 optimizer groups (configs/experiment1/config.json)
     opt_q_v = adam_decay({"mu": 0.01, "log_var": 0.01, "u": 0.01}, 0.001)
     opt_gmm = adam_decay({"log_std": 0.2, "logits": 0.2}, 0.001)
     opt_reg = adam_decay({"loc": 0.01, "log_scale": 0.01}, 0.001)
 
-    shape = (3,) + DIMS
+    shape = (3,) + bundle.dims
     q_v0 = {
         "mu": jnp.zeros(shape, jnp.float32),
         "log_var": jnp.full(shape, 2.0 * float(jnp.log(0.5)), jnp.float32),
@@ -205,8 +207,17 @@ def measure_vi(trace_dir: str | None = None, noise_scheme="pre", **svf_kwargs) -
     )
     state = gmm_warmup(bundle, opt_gmm, state, fixed, moving)
 
-    step_fn = make_vi_step(bundle, opt_q_v, opt_gmm, opt_reg, fixed, moving)
-    timed = make_vi_chunk(step_fn, VI_TIMED_STEPS)
+    # large pairs enter as jit parameters (see engine.mcmc/vi notes)
+    if sum(x.size * x.dtype.itemsize for d in (fixed, moving)
+           for x in jax.tree.leaves(d)) > 32 * 1024 * 1024:
+        timed = make_vi_chunk(
+            None, VI_TIMED_STEPS,
+            step_builder=lambda f, m: make_vi_step(
+                bundle, opt_q_v, opt_gmm, opt_reg, f, m),
+            images=(fixed, moving))
+    else:
+        step_fn = make_vi_step(bundle, opt_q_v, opt_gmm, opt_reg, fixed, moving)
+        timed = make_vi_chunk(step_fn, VI_TIMED_STEPS)
 
     state, m = timed(state)          # warm at the real chunk length
     _ = float(jnp.sum(state.q_v["mu"]))
@@ -277,10 +288,11 @@ def main(argv=None):
         svf_kwargs["use_gather"] = True
 
     if args.phase == "vi":
+        vi_dims = None if args.dims is None else (args.dims,) * 3
         vi = measure_vi(trace_dir=args.trace, noise_scheme=args.noise_scheme,
-                        **svf_kwargs)
+                        dims=vi_dims, **svf_kwargs)
         print(json.dumps({
-            "metric": "vi_iters_per_sec_128cubed",
+            "metric": f"vi_iters_per_sec_{args.dims or 128}cubed",
             "value": round(vi["iters_per_sec"], 3),
             "unit": "iters/sec",
             "spread_rel": round(vi["spread_rel"], 4),

@@ -341,13 +341,29 @@ def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, mo
     return step
 
 
-def make_vi_chunk(step_fn, chunk: int):
-    """Scan ``chunk`` VI steps on device, returning stacked per-step metrics."""
+def make_vi_chunk(step_fn, chunk: int, *, step_builder=None, images=None):
+    """Scan ``chunk`` VI steps on device, returning stacked per-step metrics.
 
-    def run(state: VIState):
-        return jax.lax.scan(step_fn, state, None, length=chunk)
+    Large-volume mode: pass ``step_builder`` (``(fixed, moving) → step_fn``)
+    plus ``images=(fixed, moving)`` instead of a prebuilt ``step_fn`` — the
+    image pair then enters the jitted module as PARAMETERS rather than
+    closed-over literals (a 256³ pair embeds ~134 MB of dense constants in
+    the StableHLO, overflowing the remote-compile transport; see
+    ``engine.mcmc.make_mcmc_chunk``).
+    """
+    if step_builder is None:
+        def run(state: VIState):
+            return jax.lax.scan(step_fn, state, None, length=chunk)
 
-    return jax.jit(run, donate_argnums=0)
+        return jax.jit(run, donate_argnums=0)
+
+    def run_params(state: VIState, fixed, moving):
+        return jax.lax.scan(step_builder(fixed, moving), state, None,
+                            length=chunk)
+
+    jit_run = jax.jit(run_params, donate_argnums=0)
+    fixed, moving = images
+    return lambda state: jit_run(state, fixed, moving)
 
 
 def gmm_warmup(bundle: ModelBundle, opt_gmm, state: VIState, fixed, moving, no_steps: int = 25):
@@ -355,10 +371,12 @@ def gmm_warmup(bundle: ModelBundle, opt_gmm, state: VIState, fixed, moving, no_s
 
     Draws one q(v) sample, computes residuals, spreads the component scales
     over the residual std-dev, then takes ``no_steps`` detached Adam steps.
+    The images are jit parameters (not baked literals) so the warmup module
+    stays small at large volumes.
     """
 
     @jax.jit
-    def _init(state: VIState):
+    def _init(state: VIState, fixed, moving):
         key, k_s, k_n = jax.random.split(state.key, 3)
         v = sample_q_v(k_s, state.q_v)
         out = forward_sample(bundle, fixed, moving, v, k_n)
@@ -380,4 +398,4 @@ def gmm_warmup(bundle: ModelBundle, opt_gmm, state: VIState, fixed, moving, no_s
         )
         return state._replace(gmm=gmm, opt_gmm=opt_state, key=key)
 
-    return _init(state)
+    return _init(state, fixed, moving)

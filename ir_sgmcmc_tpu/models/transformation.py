@@ -75,7 +75,6 @@ class SVF3D:
         # 128³; partial unroll=4 measured SLOWER than the scan — the
         # chunked residual slicing fuses worse than either extreme).
         self.unroll = unroll
-        self.id_grid = identity_grid(self.dims)
         # split point: e squarings are replaced by 2^e one-sided compositions
         e = min(self.no_steps, max(0, (self.max_disp - 1).bit_length()))
         self.no_squarings = self.no_steps - e
@@ -98,6 +97,12 @@ class SVF3D:
         if self.unroll is None:
             return jax.default_backend() == "tpu"
         return self.unroll
+
+    @property
+    def id_grid(self):
+        # built lazily so a jitted caller gets symbolic iotas, not a
+        # closed-over literal (192 MB of HLO at 256³ — see identity_grid)
+        return identity_grid(self.dims)
 
     def integrate(self, v: jnp.ndarray, im: jnp.ndarray | None = None):
         """Integrate ``v``; optionally warp ``im`` by the transformation.
@@ -255,7 +260,12 @@ class BSplineFFD3D:
         self.cps = tuple(int(c) for c in cps)
         self.control_dims = control_grid_size(self.dims, self.cps)
         self._ffd = CubicBSplineFFD3D(self.dims, self.cps)
-        self.id_grid = identity_grid(self.dims)
+
+    @property
+    def id_grid(self):
+        # lazy like SVF3D.id_grid: jitted callers see symbolic iotas, not
+        # a closed-over dense literal
+        return identity_grid(self.dims)
 
     def dense_velocity(self, cp: jnp.ndarray) -> jnp.ndarray:
         return self._ffd(cp)

@@ -369,8 +369,21 @@ class Trainer:
                 resample.set_pallas_mode(None)
 
     def _run_vi_loop(self, fixed, moving, state: VIState, start: int) -> VIState:
-        step_fn = make_vi_step(self.bundle, self.opt_q_v, self.opt_gmm,
-                               self.opt_reg, fixed, moving)
+        # image pairs above the literal-baking threshold enter the jitted
+        # chunks as parameters (a 256³ pair embedded as StableHLO constants
+        # overflows the remote-compile transport — engine.mcmc note)
+        image_bytes = sum(x.size * x.dtype.itemsize
+                          for d in (fixed, moving) for x in jax.tree.leaves(d))
+        if image_bytes > 32 * 1024 * 1024:
+            step_fn = None
+
+            def step_builder(f, m):
+                return make_vi_step(self.bundle, self.opt_q_v, self.opt_gmm,
+                                    self.opt_reg, f, m)
+        else:
+            step_builder = None
+            step_fn = make_vi_step(self.bundle, self.opt_q_v, self.opt_gmm,
+                                   self.opt_reg, fixed, moving)
         eval_fn = self._make_eval(fixed, moving)
         fixed_seg_np = np.asarray(fixed["seg"])
 
@@ -383,7 +396,9 @@ class Trainer:
             while n > 0:
                 this = min(cap, n)
                 if this not in chunk_fns:
-                    chunk_fns[this] = make_vi_chunk(step_fn, this)
+                    chunk_fns[this] = make_vi_chunk(
+                        step_fn, this, step_builder=step_builder,
+                        images=(fixed, moving))
                 state, ms = chunk_fns[this](state)
                 n -= this
             return state, ms
