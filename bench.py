@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import subprocess
 import sys
@@ -207,16 +208,20 @@ def measure_vi(trace_dir: str | None = None, noise_scheme="pre", dims=None,
     )
     state = gmm_warmup(bundle, opt_gmm, state, fixed, moving)
 
-    # large pairs enter as jit parameters (see engine.mcmc/vi notes)
+    # large pairs enter as jit parameters (see engine.mcmc/vi notes);
+    # remat (sequential antithetic chains) once a dense field exceeds
+    # 100 MB — same auto rule as trainer.vi_remat
+    remat = 3 * 4 * math.prod(bundle.dims) >= 100 * 1024 * 1024
     if sum(x.size * x.dtype.itemsize for d in (fixed, moving)
            for x in jax.tree.leaves(d)) > 32 * 1024 * 1024:
         timed = make_vi_chunk(
             None, VI_TIMED_STEPS,
             step_builder=lambda f, m: make_vi_step(
-                bundle, opt_q_v, opt_gmm, opt_reg, f, m),
+                bundle, opt_q_v, opt_gmm, opt_reg, f, m, remat=remat),
             images=(fixed, moving))
     else:
-        step_fn = make_vi_step(bundle, opt_q_v, opt_gmm, opt_reg, fixed, moving)
+        step_fn = make_vi_step(bundle, opt_q_v, opt_gmm, opt_reg, fixed, moving,
+                               remat=remat)
         timed = make_vi_chunk(step_fn, VI_TIMED_STEPS)
 
     state, m = timed(state)          # warm at the real chunk length

@@ -237,8 +237,19 @@ def vd_alpha(bundle: ModelBundle, gmm, residuals, mask):
     return bundle.gmm.vd_alpha(gmm, residuals, mask)
 
 
-def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, moving: dict):
-    """Build the jitted VI step ``(VIState) -> (VIState, metrics)``."""
+def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, moving: dict,
+                 remat: bool = False):
+    """Build the jitted VI step ``(VIState) -> (VIState, metrics)``.
+
+    ``remat``: run the two antithetic forward chains *sequentially* under
+    ``jax.checkpoint`` instead of as one batch-2 vmapped pass.  The backward
+    pass then recomputes each chain's interior (Sobolev, integration
+    cascade, warp, LCC) one at a time instead of holding both alive — at
+    256³ the batched step needs 17.5 GB of activations (over one v5e chip)
+    while the rematerialised step fits, for ~1.3× forward FLOPs.  Same math,
+    same PRNG draws, same GMM update order — only the activation schedule
+    changes.
+    """
     reg_loss = bundle.reg_loss
     learnable_reg = reg_loss.learnable and len(reg_loss.param_names) > 0
 
@@ -261,9 +272,17 @@ def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, mo
             ent = entropy_sample(v_sample, q_v["mu"], q_v["log_var"], q_v["u"])
             return out, jnp.sum(reg), log_y, ent
 
-        outs, regs, log_ys, ents = jax.vmap(fwd)(
-            jnp.stack([s1, s2]), jnp.stack([keys[1], keys[2]])
-        )
+        if remat:
+            fwd_use = jax.checkpoint(fwd)
+            pairs = [fwd_use(s1, keys[1]), fwd_use(s2, keys[2])]
+            outs = {k: [p[0][k] for p in pairs] for k in pairs[0][0]}
+            regs = [p[1] for p in pairs]
+            log_ys = [p[2] for p in pairs]
+            ents = [p[3] for p in pairs]
+        else:
+            outs, regs, log_ys, ents = jax.vmap(fwd)(
+                jnp.stack([s1, s2]), jnp.stack([keys[1], keys[2]])
+            )
 
         datas, alphas = [], []
         for i in range(2):

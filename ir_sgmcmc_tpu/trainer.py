@@ -374,16 +374,27 @@ class Trainer:
         # overflows the remote-compile transport — engine.mcmc note)
         image_bytes = sum(x.size * x.dtype.itemsize
                           for d in (fixed, moving) for x in jax.tree.leaves(d))
+        # ``vi_remat``: sequential antithetic chains under jax.checkpoint
+        # (engine.vi.make_vi_step).  "auto" turns it on once a dense field
+        # exceeds 100 MB (~≥204³) — the batched step's two live activation
+        # cascades stop fitting a 16 GB chip around 256³.
+        remat = self.t_cfg.get("vi_remat", "auto")
+        if remat == "auto":
+            field_bytes = 3 * 4 * int(np.prod(self.bundle.dims))
+            remat = field_bytes >= 100 * 1024 * 1024
+        remat = bool(remat)
+        if remat:
+            self.logger.info("VI remat on: sequential antithetic chains")
         if image_bytes > 32 * 1024 * 1024:
             step_fn = None
 
             def step_builder(f, m):
                 return make_vi_step(self.bundle, self.opt_q_v, self.opt_gmm,
-                                    self.opt_reg, f, m)
+                                    self.opt_reg, f, m, remat=remat)
         else:
             step_builder = None
             step_fn = make_vi_step(self.bundle, self.opt_q_v, self.opt_gmm,
-                                   self.opt_reg, fixed, moving)
+                                   self.opt_reg, fixed, moving, remat=remat)
         eval_fn = self._make_eval(fixed, moving)
         fixed_seg_np = np.asarray(fixed["seg"])
 

@@ -114,6 +114,29 @@ def test_vi_improves_elbo_and_alignment():
     assert dice_after > dice_before + 0.05, (dice_before, dice_after)
 
 
+def test_vi_remat_step_matches_batched():
+    """vi_remat (sequential antithetic chains under jax.checkpoint) is an
+    activation-schedule change only: same PRNG draws, same GMM update order,
+    same math — trajectories must match the batched step to fp tolerance."""
+    bundle = _make_bundle(vd=True, noise=0.05)
+    fixed, moving = _data()
+    state, (opt_q_v, opt_gmm, opt_reg) = _init_state(bundle)
+    state = gmm_warmup(bundle, opt_gmm, state, fixed, moving)
+
+    step_b = make_vi_step(bundle, opt_q_v, opt_gmm, opt_reg, fixed, moving)
+    step_r = make_vi_step(bundle, opt_q_v, opt_gmm, opt_reg, fixed, moving,
+                          remat=True)
+    s_b, m_b = make_vi_chunk(step_b, 6)(jax.tree.map(jnp.copy, state))
+    s_r, m_r = make_vi_chunk(step_r, 6)(jax.tree.map(jnp.copy, state))
+
+    np.testing.assert_allclose(np.asarray(m_b["total_loss"]),
+                               np.asarray(m_r["total_loss"]), rtol=2e-4)
+    for name in ("mu", "log_var", "u"):
+        np.testing.assert_allclose(np.asarray(s_b.q_v[name]),
+                                   np.asarray(s_r.q_v[name]),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_vi_with_vd_and_uniform_noise_runs():
     bundle = _make_bundle(vd=True, noise=0.05)
     fixed, moving = _data()
