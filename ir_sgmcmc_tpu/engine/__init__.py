@@ -6,9 +6,23 @@ from .mcmc import (
     make_sgld_transition,
     posterior_statistics,
 )
+from .pairs import (
+    make_pair_mcmc_chunk,
+    make_pair_mesh,
+    make_pair_vi_chunk,
+    shard_pairs,
+    stack_trees,
+    unstack_tree,
+)
 from .vi import VIState, count_folds, gmm_warmup, make_vi_chunk, make_vi_step
 
 __all__ = [
+    "stack_trees",
+    "unstack_tree",
+    "make_pair_mesh",
+    "shard_pairs",
+    "make_pair_vi_chunk",
+    "make_pair_mcmc_chunk",
     "ModelBundle",
     "VIState",
     "make_vi_step",

@@ -428,6 +428,7 @@ def make_mcmc_chunk(
     anchor_radius: int = 2,
     anchor_mode: str = "taylor",
     anchor_period: int = 25,
+    raw: bool = False,
 ):
     """Scan ``chunk`` SGLD transitions over all chains on device.
 
@@ -566,6 +567,13 @@ def make_mcmc_chunk(
             return state, parts[0]
         ms = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         return state, ms
+
+    # ``raw``: hand back the untraced runner ``(state, fixed, moving) ->
+    # (state, metrics)`` for composition under an outer transform — the
+    # pair-parallel layer (engine/pairs.py) vmaps/maps it over a stacked
+    # pair axis before jitting
+    if raw:
+        return run
 
     # Below ~32 MB the images are baked into the module as literals (the
     # long-standing behaviour: replicated constants, zero collectives even

@@ -367,7 +367,8 @@ def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, mo
     return step
 
 
-def make_vi_chunk(step_fn, chunk: int, *, step_builder=None, images=None):
+def make_vi_chunk(step_fn, chunk: int, *, step_builder=None, images=None,
+                  raw: bool = False):
     """Scan ``chunk`` VI steps on device, returning stacked per-step metrics.
 
     Large-volume mode: pass ``step_builder`` (``(fixed, moving) → step_fn``)
@@ -376,7 +377,21 @@ def make_vi_chunk(step_fn, chunk: int, *, step_builder=None, images=None):
     closed-over literals (a 256³ pair embeds ~134 MB of dense constants in
     the StableHLO, overflowing the remote-compile transport; see
     ``engine.mcmc.make_mcmc_chunk``).
+
+    ``raw``: return the untraced ``(state, fixed, moving) -> (state,
+    metrics)`` runner (requires ``step_builder``) for composition under an
+    outer transform — see ``engine.pairs``.
     """
+    if raw:
+        if step_builder is None:
+            raise ValueError("raw=True requires step_builder")
+
+        def run_raw(state: VIState, fixed, moving):
+            return jax.lax.scan(step_builder(fixed, moving), state, None,
+                                length=chunk)
+
+        return run_raw
+
     if step_builder is None:
         def run(state: VIState):
             return jax.lax.scan(step_fn, state, None, length=chunk)

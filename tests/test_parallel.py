@@ -636,3 +636,165 @@ def test_block_warp_chain_shard_map_interpret():
     assert len(got.sharding.device_set) == n_chains
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-4, rtol=1e-4)
+
+
+# --------------------------------------------------------------- pair axis
+def _tiny_bundle(dims):
+    from ir_sgmcmc_tpu.engine.bundle import ModelBundle
+    from ir_sgmcmc_tpu.models import GMM, DirichletPrior, LogScaleNormalPrior, SVF3D
+    from ir_sgmcmc_tpu.models.reg_loss import RegLossL2
+
+    return ModelBundle(
+        dims=dims,
+        gmm=GMM(2, 1),
+        scale_prior=LogScaleNormalPrior(0.0, 2.3),
+        proportion_prior=DirichletPrior(2, 0.5),
+        reg_loss=RegLossL2(w_reg=1.0, dims=dims),
+        transformation=SVF3D(dims, no_steps=4, max_disp=4),
+        sobolev_s=1,
+        uniform_noise_alpha=None,
+        virtual_decimation=False,
+    )
+
+
+def _pair_images(dims, n_pairs):
+    """n_pairs distinct image pairs (different sphere offsets)."""
+    from ir_sgmcmc_tpu.data import sphere_pair
+
+    offsets = [(0, 0, 1), (0, 1, 0), (1, 0, 0), (0, 0, -1),
+               (0, -1, 0), (-1, 0, 0), (0, 1, 1), (1, 1, 0)]
+    pairs = []
+    for i in range(n_pairs):
+        f, m = sphere_pair(dims, offset=offsets[i % len(offsets)])
+        pairs.append(({k: jnp.asarray(v) for k, v in f.items()},
+                      {k: jnp.asarray(v) for k, v in m.items()}))
+    return pairs
+
+
+@requires_8
+def test_pair_parallel_mcmc_chunk_matches_sequential():
+    """8 image pairs sharded over 8 devices: each pair's SGLD trajectory
+    matches running its single-pair chunk alone, and the compiled module
+    contains NO cross-pair collectives (the pairs are embarrassingly
+    parallel — each carries its own parameters, chains, and Welford
+    accumulators)."""
+    from ir_sgmcmc_tpu.engine import init_chains, make_mcmc_chunk
+    from ir_sgmcmc_tpu.engine.pairs import (
+        make_pair_mcmc_chunk, make_pair_mesh, shard_pairs, stack_trees,
+        unstack_tree,
+    )
+    from ir_sgmcmc_tpu.optim import adam_decay
+
+    dims = (8, 8, 8)
+    n_pairs = 8
+    bundle = _tiny_bundle(dims)
+    pairs = _pair_images(dims, n_pairs)
+    opt_gmm = adam_decay(0.2)
+    opt_reg = adam_decay(0.01)
+
+    def build_state(i):
+        return init_chains(
+            bundle, jax.random.PRNGKey(100 + i), no_chains=2, mode="noise",
+            q_v=None, gmm=bundle.gmm.init_params(),
+            reg=bundle.reg_loss.init_params(),
+            opt_gmm=opt_gmm, opt_reg=opt_reg,
+        )
+
+    # sequential reference: one single-pair chunk per pair
+    seq_states, seq_metrics = [], []
+    for i, (f, m) in enumerate(pairs):
+        chunk = make_mcmc_chunk(
+            bundle, opt_gmm, opt_reg, tau=1e-4, fixed=f, moving=m,
+            chunk=3, burn_in=0, thin=1)
+        s, ms = chunk(build_state(i))
+        seq_states.append(s)
+        seq_metrics.append(ms)
+
+    mesh = make_pair_mesh(n_pairs)
+    assert mesh.shape["pair"] == 8
+    fixed_st = stack_trees([f for f, _ in pairs])
+    moving_st = stack_trees([m for _, m in pairs])
+    state_st = shard_pairs(stack_trees([build_state(i) for i in range(n_pairs)]),
+                           mesh)
+    fixed_st = shard_pairs(fixed_st, mesh)
+    moving_st = shard_pairs(moving_st, mesh)
+
+    pchunk = make_pair_mcmc_chunk(
+        bundle, opt_gmm, opt_reg, tau=1e-4, fixed_st=fixed_st,
+        moving_st=moving_st, chunk=3, burn_in=0, thin=1, mesh=mesh)
+
+    txt = pchunk.lower(state_st).compile().as_text()
+    assert "all-gather" not in txt and "all-reduce" not in txt, \
+        "pair axis must be collective-free"
+
+    s_pair, m_pair = pchunk(state_st)
+    assert len(s_pair.v.sharding.device_set) == 8
+    for i in range(n_pairs):
+        np.testing.assert_allclose(
+            np.asarray(unstack_tree(s_pair, i).v),
+            np.asarray(seq_states[i].v), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(unstack_tree(m_pair, i)["data_term"]),
+            np.asarray(seq_metrics[i]["data_term"]), rtol=1e-4)
+
+
+@requires_8
+def test_pair_parallel_vi_chunk_matches_sequential():
+    """The FULL VI step runs pair-parallel with per-pair trajectory parity;
+    4 pairs on an 8-device pool use a 4-device mesh (largest even tiling)."""
+    from ir_sgmcmc_tpu.engine import VIState, make_vi_chunk, make_vi_step
+    from ir_sgmcmc_tpu.engine.pairs import (
+        make_pair_mesh, make_pair_vi_chunk, shard_pairs, stack_trees,
+        unstack_tree,
+    )
+    from ir_sgmcmc_tpu.optim import adam_decay
+
+    dims = (8, 8, 8)
+    n_pairs = 4
+    bundle = _tiny_bundle(dims)
+    pairs = _pair_images(dims, n_pairs)
+    opt_q_v = adam_decay(1e-2)
+    opt_gmm = adam_decay(0.2)
+    opt_reg = adam_decay(0.01)
+
+    def build_state(i):
+        q_v = {
+            "mu": jnp.zeros((3,) + dims, jnp.float32),
+            "log_var": jnp.full((3,) + dims, -2.0, jnp.float32),
+            "u": jnp.full((3,) + dims, 0.1, jnp.float32),
+        }
+        return VIState(
+            q_v=q_v, gmm=bundle.gmm.init_params(),
+            reg=bundle.reg_loss.init_params(),
+            opt_q_v=opt_q_v.init(q_v),
+            opt_gmm=opt_gmm.init(bundle.gmm.init_params()),
+            opt_reg=opt_reg.init(bundle.reg_loss.init_params()),
+            key=jax.random.PRNGKey(50 + i), step=jnp.zeros((), jnp.int32),
+        )
+
+    seq_states, seq_metrics = [], []
+    for i, (f, m) in enumerate(pairs):
+        step = make_vi_step(bundle, opt_q_v, opt_gmm, opt_reg, f, m)
+        s, ms = make_vi_chunk(step, chunk=3)(build_state(i))
+        seq_states.append(s)
+        seq_metrics.append(ms)
+
+    mesh = make_pair_mesh(n_pairs)
+    assert mesh.shape["pair"] == 4
+    fixed_st = shard_pairs(stack_trees([f for f, _ in pairs]), mesh)
+    moving_st = shard_pairs(stack_trees([m for _, m in pairs]), mesh)
+    state_st = shard_pairs(stack_trees([build_state(i) for i in range(n_pairs)]),
+                           mesh)
+
+    pchunk = make_pair_vi_chunk(
+        bundle, opt_q_v, opt_gmm, opt_reg, fixed_st, moving_st,
+        chunk=3, mesh=mesh)
+    s_pair, m_pair = pchunk(state_st)
+    assert len(s_pair.q_v["mu"].sharding.device_set) == 4
+    for i in range(n_pairs):
+        np.testing.assert_allclose(
+            np.asarray(unstack_tree(s_pair, i).q_v["mu"]),
+            np.asarray(seq_states[i].q_v["mu"]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(unstack_tree(m_pair, i)["total_loss"]),
+            np.asarray(seq_metrics[i]["total_loss"]), rtol=1e-4)
