@@ -170,7 +170,7 @@ class SyntheticPairDataset:
     structures = {"sphere": 1}
 
     def __init__(self, dims, save_dir=None, sigma_v_init=0.5, u_v_init=0.1,
-                 cps=None, offset=None, seed=0, **_):
+                 cps=None, offset=None, seed=0, no_pairs=1, **_):
         self.dims = tuple(int(d) for d in dims)
         self.sigma_v_init = float(sigma_v_init)
         self.u_v_init = float(u_v_init)
@@ -179,10 +179,13 @@ class SyntheticPairDataset:
         )
         self.offset = offset if offset is not None else (0.0, 0.0, max(1.0, self.dims[0] / 16.0))
         self.seed = seed
+        # no_pairs > 1: distinct pairs (per-index texture seed + rolled
+        # offset axis) for multi-pair / pair_parallel runs
+        self.no_pairs = int(no_pairs)
         self.im_spacing = np.ones(3, np.float32)
 
     def __len__(self):
-        return 1
+        return self.no_pairs
 
     def init_q_v(self) -> dict:
         shape = (3,) + self.field_dims
@@ -193,7 +196,9 @@ class SyntheticPairDataset:
         }
 
     def __getitem__(self, idx: int):
-        fixed, moving = sphere_pair(self.dims, offset=self.offset, seed=self.seed)
+        off = np.roll(np.asarray(self.offset, np.float32), idx % 3)
+        fixed, moving = sphere_pair(self.dims, offset=tuple(off.tolist()),
+                                    seed=self.seed + idx)
         # use the sphere labels as a 1-structure segmentation universe
         return fixed, moving, self.init_q_v()
 

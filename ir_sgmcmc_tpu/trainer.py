@@ -131,27 +131,338 @@ class Trainer:
     # ------------------------------------------------------------------ run
     def run(self):
         """Register every pair in the dataset; returns per-pair summaries."""
+        if bool(self.t_cfg.get("pair_parallel", False)) and len(self.dataset) > 1:
+            if self.resume_path:
+                # a pair-stacked checkpoint is not interchangeable with the
+                # sequential per-pair ones; refusing beats silently
+                # restarting N pairs from one pair's state
+                raise ValueError(
+                    "trainer.pair_parallel does not support -r/--resume; "
+                    "re-run without resume or with pair_parallel=false")
+            unsupported = None
+            if self.mcmc_param_mode != "per_chain":
+                unsupported = "MCMC_params='shared' (sequential GMM updates)"
+            elif bool(self.t_cfg.get("mcmc_anchor", False)):
+                unsupported = "mcmc_anchor=true"
+            if unsupported is None:
+                summaries = self._run_pairs_parallel()
+                self.writer.close()
+                return summaries
+            self.logger.warning(
+                "pair_parallel requested but %s is not supported in the "
+                "pair-stacked chunks — registering pairs sequentially",
+                unsupported)
         summaries = []
         for pair_idx in range(len(self.dataset)):
             summaries.append(self._run_pair(pair_idx))
         self.writer.close()
         return summaries
 
+    def _save_dirs_for(self, pair_idx: int) -> dict:
+        """Pair 0 keeps the run's artifact tree; later pairs get their own
+        subtree so multi-pair runs never overwrite each other's outputs."""
+        base = dict(self.config.save_dirs)
+        if pair_idx == 0:
+            return base
+        dirs = {
+            k: (p if k == "dir" else p.parent / f"pair_{pair_idx}" / p.name)
+            for k, p in base.items()
+        }
+        for k, p in dirs.items():
+            if k != "dir":
+                p.mkdir(parents=True, exist_ok=True)
+        return dirs
+
+    def _run_pairs_parallel(self) -> list:
+        """Register ALL dataset pairs concurrently over a ``('pair',)`` mesh.
+
+        The reference registers pairs strictly sequentially (one accelerator
+        per pair-process on its Biobank runs); here the pairs — each with its
+        own parameters, chains, and accumulators — are embarrassingly
+        parallel, so the VI and MCMC phases run pair-stacked under an
+        explicit ``shard_map`` (engine/pairs.py) with zero cross-pair
+        collectives.  Host-side evaluation, artifact saving, and the VI test
+        stay per-pair (run after each phase on unstacked state).  Deltas vs
+        the sequential path, by design: guards fire on the worst pair and
+        abort the whole batch (the same data aborts its sequential run too);
+        per-sample MCMC artifact dumps are replaced by phase-end artifacts;
+        checkpoints hold the pair-stacked state (resume unsupported).
+        """
+        from .engine.pairs import (
+            make_pair_mcmc_chunk,
+            make_pair_mesh,
+            make_pair_vi_chunk,
+            shard_pairs,
+            stack_trees,
+            unstack_tree,
+        )
+
+        n_pairs = len(self.dataset)
+        mesh = make_pair_mesh(n_pairs)
+        n_dev = mesh.shape["pair"]
+        self.logger.info("pair-parallel: %d pairs over %d devices "
+                         "(%d pair(s) per device, sequential within)",
+                         n_pairs, n_dev, n_pairs // n_dev)
+
+        if self.dataset.im_spacing is not None:
+            sp = np.ravel(np.asarray(self.dataset.im_spacing, np.float32))
+            self.spacing = tuple(np.resize(sp, 3).tolist())
+
+        pair_dirs = [self._save_dirs_for(i) for i in range(n_pairs)]
+        fixeds, movings, states = [], [], []
+        for i in range(n_pairs):
+            fixed_np, moving_np, q_v0 = self.dataset[i]
+            fixed = {k: jnp.asarray(v) for k, v in fixed_np.items()}
+            moving = {k: jnp.asarray(v) for k, v in moving_np.items()}
+            if fixeds and any(
+                fixed[k].shape != fixeds[0][k].shape for k in fixed
+            ):
+                raise ValueError(
+                    f"pair {i} has a different volume shape than pair 0 — "
+                    f"pair_parallel stacks pairs and needs equal dims "
+                    f"(the loader's pad-to-cube dims setting)")
+            savers.save_fixed_im(pair_dirs[i], self.spacing, fixed_np["im"])
+            savers.save_moving_im(pair_dirs[i], self.spacing, moving_np["im"])
+            savers.save_fixed_mask(pair_dirs[i], self.spacing, fixed_np["mask"])
+            savers.save_moving_mask(pair_dirs[i], self.spacing, moving_np["mask"])
+            q_v = {k: jnp.asarray(v) for k, v in q_v0.items()}
+            state = VIState(
+                q_v=q_v,
+                gmm=self.bundle.gmm.init_params(),
+                reg=self.bundle.reg_loss.init_params(),
+                opt_q_v=self.opt_q_v.init(q_v),
+                opt_gmm=self.opt_gmm.init(self.bundle.gmm.init_params()),
+                opt_reg=self.opt_reg.init(self.bundle.reg_loss.init_params()),
+                key=jax.random.PRNGKey(int(self.t_cfg.get("seed", 0)) + i),
+                step=jnp.zeros((), jnp.int32),
+            )
+            states.append(gmm_warmup(self.bundle, self.opt_gmm, state,
+                                     fixed, moving))
+            fixeds.append(fixed)
+            movings.append(moving)
+
+        summaries = [{"pair": i} for i in range(n_pairs)]
+        for i in range(n_pairs):
+            dsc0 = np.asarray(dice(fixeds[i]["seg"], movings[i]["seg"],
+                                   list(self.structures.values())))
+            summaries[i]["dsc_before"] = float(dsc0.mean())
+            self.logger.info("pair %d: pre-registration mean Dice %.4f",
+                             i, summaries[i]["dsc_before"])
+
+        fixed_st = shard_pairs(stack_trees(fixeds), mesh)
+        moving_st = shard_pairs(stack_trees(movings), mesh)
+
+        cap = int(self.t_cfg.get("max_device_chunk", 200))
+
+        def make_runner(build_chunk):
+            chunk_fns = {}
+
+            def run_steps(state, n):
+                ms = None
+                while n > 0:
+                    compiled = [length for length in chunk_fns if length <= n]
+                    this = max(compiled) if compiled else min(cap, n)
+                    if this not in chunk_fns:
+                        chunk_fns[this] = build_chunk(this)
+                    state, ms = chunk_fns[this](state)
+                    n -= this
+                return state, ms
+
+            return run_steps
+
+        # ------------------------------------------------------ VI (stacked)
+        if self.run_vi and self.no_iters_vi > 0:
+            remat = self.t_cfg.get("vi_remat", "auto")
+            if remat == "auto":
+                field_bytes = 3 * 4 * int(np.prod(self.bundle.dims))
+                remat = field_bytes >= 100 * 1024 * 1024
+            state_st = shard_pairs(stack_trees(states), mesh)
+            run_vi_steps = make_runner(lambda n: make_pair_vi_chunk(
+                self.bundle, self.opt_q_v, self.opt_gmm, self.opt_reg,
+                fixed_st, moving_st, chunk=n, mesh=mesh, remat=bool(remat)))
+
+            log_period = max(1, min(self.log_period_vi, self.no_iters_vi))
+            t0 = time.perf_counter()
+            done = 0
+            try:
+                while done < self.no_iters_vi:
+                    this = min(log_period, self.no_iters_vi - done)
+                    state_st, ms = run_vi_steps(state_st, this)
+                    done += this
+                    # ms leaves: (n_pairs, chunk, ...) -> final step per pair
+                    last = _host(jax.tree.map(lambda x: x[:, -1], ms))
+                    self.writer.set_step(done)
+                    for i in range(n_pairs):
+                        self.writer.prefix = f"pair{i}/" if i else ""
+                        for k in ("data_term", "reg_term", "entropy_term",
+                                  "total_loss", "vd_alpha", "reg_energy",
+                                  "ndv", "sat"):
+                            self.writer.add_scalar(
+                                f"VI/{k}", float(np.asarray(last[k])[i]))
+                    self.writer.prefix = ""
+                    self._check_saturation(
+                        int(np.asarray(last["sat"]).max()), done, "VI")
+                    self.logger.info(
+                        "VI %d/%d loss %s ndv %s (per pair)",
+                        done, self.no_iters_vi,
+                        np.array2string(np.asarray(last["total_loss"]),
+                                        precision=1),
+                        np.asarray(last["ndv"]))
+                    self._maybe_checkpoint(
+                        self.config.save_dirs["models"] / "vi_latest.npz",
+                        state_st,
+                        {"phase": "VI", "phase_done": 0, "vi_iters": done,
+                         "pair_parallel": n_pairs,
+                         "config": self.config.name},
+                        force=done >= self.no_iters_vi)
+            finally:
+                savers.flush()
+            vi_time = time.perf_counter() - t0
+            self.logger.info(
+                "VI phase took %.1fs for %d pairs (%.2f aggregate iters/sec)",
+                vi_time, n_pairs, n_pairs * self.no_iters_vi / vi_time)
+
+            dev0 = jax.devices()[0]
+            states = [
+                jax.tree.map(lambda x: jax.device_put(x, dev0),
+                             unstack_tree(state_st, i))
+                for i in range(n_pairs)
+            ]
+            for i in range(n_pairs):
+                summaries[i]["vi_time_s"] = vi_time
+                self.save_dirs = pair_dirs[i]
+                self.writer.prefix = f"pair{i}/" if i else ""
+                try:
+                    summaries[i].update(
+                        self._test_vi(fixeds[i], movings[i], states[i]))
+                finally:
+                    self.writer.prefix = ""
+
+        if not self.run_mcmc:
+            return summaries
+
+        # ---------------------------------------------------- MCMC (stacked)
+        total = self.no_iters_burn_in + self.no_samples_mcmc
+        no_voxels = float(np.prod(self.bundle.dims))
+        mcmc_states = [
+            init_chains(
+                self.bundle,
+                jax.random.fold_in(states[i].key, 202),
+                no_chains=self.no_chains,
+                mode=self.mcmc_init,
+                q_v=states[i].q_v if self.mcmc_init == "VI" else None,
+                gmm=states[i].gmm,
+                reg=states[i].reg,
+                opt_gmm=self.opt_gmm,
+                opt_reg=self.opt_reg,
+                param_mode=self.mcmc_param_mode,
+            )
+            for i in range(n_pairs)
+        ]
+        mcmc_st = shard_pairs(stack_trees(mcmc_states), mesh)
+        run_mcmc_steps = make_runner(lambda n: make_pair_mcmc_chunk(
+            self.bundle, self.opt_gmm, self.opt_reg, self.config.tau,
+            fixed_st, moving_st, chunk=n, burn_in=self.no_iters_burn_in,
+            thin=1, mesh=mesh, param_mode=self.mcmc_param_mode))
+
+        log_period = max(1, min(self.log_period_mcmc, total))
+        done = 0
+        t0 = time.perf_counter()
+        aborted = None
+        try:
+            while done < total:
+                this = min(log_period, total - done)
+                mcmc_st, ms = run_mcmc_steps(mcmc_st, this)
+                done += this
+                # ms leaves: (n_pairs, chunk, chains, ...)
+                last = _host(jax.tree.map(lambda x: x[:, -1], ms))
+                self.writer.set_step(done)
+                for i in range(n_pairs):
+                    self.writer.prefix = f"pair{i}/" if i else ""
+                    for k in ("data_term", "reg_term", "vd_alpha",
+                              "reg_energy", "ndv", "sat"):
+                        for c in range(self.no_chains):
+                            self.writer.add_scalar(
+                                f"MCMC/{k}/chain_{c}",
+                                float(np.asarray(last[k])[i, c]))
+                self.writer.prefix = ""
+                self._check_saturation(
+                    int(np.asarray(last["sat"]).max()), done, "MCMC")
+                worst = int(np.asarray(last["ndv"]).max())
+                if worst > self.ndv_tol * no_voxels:
+                    raise NonDiffeomorphicAbort(
+                        f"a chain transformation folded at {worst} voxels "
+                        f"(> {self.ndv_tol:.1%} of {int(no_voxels)}) at "
+                        f"step {done} (worst pair)")
+                self.logger.info(
+                    "MCMC %d/%d data %s ndv_max %d (pairs x chains)",
+                    done, total,
+                    np.array2string(np.asarray(last["data_term"]),
+                                    precision=1),
+                    worst)
+                self._maybe_checkpoint(
+                    self.config.save_dirs["models"] / "mcmc_latest.npz",
+                    mcmc_st,
+                    {"phase": "MCMC", "phase_done": 1, "mcmc_steps": done,
+                     "pair_parallel": n_pairs, "config": self.config.name},
+                    force=done >= total)
+        except TrainerAbort as e:
+            self.logger.error("MCMC aborted: %s", e)
+            aborted = str(e)
+        finally:
+            mcmc_time = time.perf_counter() - t0
+            savers.flush()
+
+        agg = n_pairs * self.no_chains * done / mcmc_time if done else 0.0
+        self.logger.info(
+            "MCMC phase: %d steps x %d pairs x %d chains in %.1fs "
+            "(%.2f aggregate samples/sec)",
+            done, n_pairs, self.no_chains, mcmc_time, agg)
+
+        dev0 = jax.devices()[0]
+        for i in range(n_pairs):
+            summaries[i]["mcmc_time_s"] = mcmc_time
+            summaries[i]["mcmc_aggregate_samples_per_sec"] = agg
+            if aborted is not None:
+                summaries[i]["mcmc_aborted"] = aborted
+            mcmc_i = jax.tree.map(lambda x: jax.device_put(x, dev0),
+                                  unstack_tree(mcmc_st, i))
+            self.save_dirs = pair_dirs[i]
+            self.writer.prefix = f"pair{i}/" if i else ""
+            try:
+                if (aborted is None
+                        and float(np.asarray(mcmc_i.welford.count).sum()) > 1):
+                    mean, std = posterior_statistics(mcmc_i)
+                    savers.save_displacement_mean_and_std_dev(
+                        self.save_dirs, self.spacing, np.asarray(mean),
+                        np.asarray(std), np.asarray(fixeds[i]["mask"]),
+                        "MCMC")
+                if aborted is None:
+                    eval_fn = jax.jit(jax.vmap(
+                        self._make_eval(fixeds[i], movings[i])))
+                    outs = eval_fn(mcmc_i.v)
+                    fixed_seg_np = np.asarray(fixeds[i]["seg"])
+                    dscs = []
+                    for c in range(self.no_chains):
+                        out_c = jax.tree.map(lambda x: x[c], outs)
+                        dscs.append(self._log_seg_metrics(
+                            fixed_seg_np, out_c, "MCMC", chain=c))
+                        im16 = out_c["im_warped"].astype(jnp.float16)
+                        disp16 = out_c["displacement"].astype(jnp.float16)
+                        ldj16 = out_c["log_det_J"].astype(jnp.float16)
+                        savers.submit(
+                            lambda sn=done - self.no_iters_burn_in, im=im16,
+                            dp=disp16, ld=ldj16, cc=c, sd=self.save_dirs:
+                            savers.save_sample(sd, self.spacing, sn, im,
+                                               dp, ld, "MCMC", chain_no=cc))
+                    summaries[i]["mcmc_mean_dsc"] = float(np.mean(dscs))
+            finally:
+                self.writer.prefix = ""
+        savers.flush()
+        return summaries
+
     def _run_pair(self, pair_idx: int) -> dict:
-        # pairs beyond the first get their own artifact subtree (the
-        # reference's loader always has exactly one pair; multi-pair runs
-        # are an upgrade and must not overwrite each other's outputs)
-        if pair_idx > 0:
-            base = dict(self.config.save_dirs)
-            self.save_dirs = {
-                k: (p if k == "dir" else p.parent / f"pair_{pair_idx}" / p.name)
-                for k, p in base.items()
-            }
-            for k, p in self.save_dirs.items():
-                if k != "dir":
-                    p.mkdir(parents=True, exist_ok=True)
-        else:
-            self.save_dirs = self.config.save_dirs
+        self.save_dirs = self._save_dirs_for(pair_idx)
 
         fixed_np, moving_np, q_v0 = self.dataset[pair_idx]
         if self.dataset.im_spacing is not None:
@@ -766,6 +1077,12 @@ class Trainer:
                     f"(> {self.ndv_tol:.1%} of {int(no_voxels)}) at step {done_at}"
                 )
 
+            if done_at >= total:
+                # final-period quality at the SAME trajectory point every
+                # execution path reaches (the speed test below advances the
+                # chains further, so its state is not comparable across
+                # sequential / pair-parallel runs)
+                summary["mcmc_mean_dsc"] = float(np.asarray(outs["dsc"]).mean())
             post_burn_in = done_at > self.no_iters_burn_in
             # artifact saving fetches ~45 MB/chain over the tunnel — gated
             # on its own period so metric logging can stay frequent
@@ -895,9 +1212,6 @@ class Trainer:
                 sps = self.no_chains * iters / dt
                 self.logger.info("MCMC sampling speed: %.2f samples/sec", sps)
                 summary["mcmc_samples_per_sec"] = sps
-
-                outs = eval_fn(mcmc.v)
-                summary["mcmc_mean_dsc"] = float(np.asarray(outs["dsc"]).mean())
             finally:
                 if spatial_gspmd:
                     resample.set_pallas_mode(None)

@@ -52,6 +52,9 @@ class ScalarWriter:
 
     def __init__(self, log_dir, enabled: bool = True):
         self.step = 0
+        # tag namespace, e.g. "pair1/" — pair-parallel runs reuse the same
+        # phase tags ("VI/...", "MCMC/...") per pair and would collide
+        self.prefix = ""
         self._tb = None
         self._jsonl = None
         if not enabled or log_dir is None:
@@ -74,6 +77,7 @@ class ScalarWriter:
         self.step = int(step)
 
     def add_scalar(self, tag, value):
+        tag = self.prefix + tag
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), self.step)
         elif self._jsonl is not None:
@@ -83,12 +87,14 @@ class ScalarWriter:
             )
 
     def add_figure(self, tag, figure):
+        tag = self.prefix + tag
         if self._tb is not None:
             self._tb.add_figure(tag, figure, self.step)
         else:
             self._warn_figures_dropped()
 
     def add_histogram(self, tag, values):
+        tag = self.prefix + tag
         if self._tb is not None:
             self._tb.add_histogram(tag, values, self.step)
         else:
@@ -104,6 +110,7 @@ class ScalarWriter:
             )
 
     def add_text(self, tag, text):
+        tag = self.prefix + tag
         if self._tb is not None:
             self._tb.add_text(tag, text, self.step)
         elif self._jsonl is not None:

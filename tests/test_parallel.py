@@ -798,3 +798,53 @@ def test_pair_parallel_vi_chunk_matches_sequential():
         np.testing.assert_allclose(
             np.asarray(unstack_tree(m_pair, i)["total_loss"]),
             np.asarray(seq_metrics[i]["total_loss"]), rtol=1e-4)
+
+
+@requires_8
+def test_trainer_pair_parallel(tmp_path):
+    """End-to-end: ``trainer.pair_parallel: true`` registers 4 synthetic
+    pairs concurrently over a ('pair',) mesh; per-pair quality matches the
+    sequential per-pair loop, per-pair artifacts land in their own
+    subtrees, and the batch reports an aggregate samples/sec."""
+    import json
+    from pathlib import Path
+
+    from ir_sgmcmc_tpu.config import Config
+    from ir_sgmcmc_tpu.trainer import Trainer
+
+    def cfg(where, pair_parallel):
+        c = json.loads(
+            (Path(__file__).parent.parent
+             / "configs/demo/config_synthetic.json").read_text())
+        c["data_loader"]["args"]["dims"] = [12, 12, 12]
+        c["data_loader"]["args"]["no_pairs"] = 4
+        c["transformation_module"]["args"] = {"no_steps": 4, "max_disp": 4}
+        c["trainer"].update(
+            save_dir=str(where), VI=True, no_iters_VI=6, log_period_VI=3,
+            no_samples_VI_test=2, MCMC=True, MCMC_init="VI", no_chains=2,
+            no_iters_burn_in=2, no_samples_MCMC=4, log_period_MCMC=3,
+            speed_test_iters=2, tensorboard=False, seed=7,
+            pair_parallel=pair_parallel,
+            # keep the sequential baseline on the single-device path so the
+            # comparison isolates the pair axis
+            distribute=False)
+        return Config(c, run_id="t")
+
+    t_pp = Trainer(cfg(tmp_path / "pp", True))
+    s_pp = t_pp.run()
+    assert len(s_pp) == 4
+    assert all("mcmc_aborted" not in s for s in s_pp)
+    assert s_pp[0]["mcmc_aggregate_samples_per_sec"] > 0
+
+    t_seq = Trainer(cfg(tmp_path / "seq", False))
+    s_seq = t_seq.run()
+    for pp, seq in zip(s_pp, s_seq):
+        assert pp["dsc_before"] == seq["dsc_before"]
+        assert abs(pp["mcmc_mean_dsc"] - seq["mcmc_mean_dsc"]) < 1e-3
+        assert abs(pp["vi_test_mean_dsc"] - seq["vi_test_mean_dsc"]) < 1e-3
+
+    # per-pair artifact subtrees (pair 0 owns the root tree)
+    root = tmp_path / "pp/demo_synthetic/t"
+    assert (root / "fields/MCMC_displacement_mean.vtk").exists()
+    for i in range(1, 4):
+        assert (root / f"pair_{i}/fields/MCMC_displacement_mean.vtk").exists()
