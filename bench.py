@@ -261,6 +261,11 @@ def main(argv=None):
                         help="integration-scan unroll factor ('true' = fully; "
                              "removes reverse-mode residual-stacking traffic)")
     parser.add_argument("--taylor-threshold", type=float, default=None)
+    parser.add_argument("--taylor-compositions", choices=["on", "off"],
+                        default=None,
+                        help="force the composition phase into Taylor-stencil "
+                             "form ('on') or radius-1 warp kernels ('off'); "
+                             "default: the SVF3D auto rule")
     parser.add_argument("--use-gather", action="store_true")
     parser.add_argument("--noise-scheme", choices=["pre", "post"],
                         default="post",
@@ -289,6 +294,8 @@ def main(argv=None):
             else int(args.unroll)
     if args.taylor_threshold is not None:
         svf_kwargs["taylor_threshold"] = args.taylor_threshold
+    if args.taylor_compositions is not None:
+        svf_kwargs["taylor_compositions"] = args.taylor_compositions == "on"
     if args.use_gather:
         svf_kwargs["use_gather"] = True
 

@@ -159,6 +159,7 @@ class Config:
             use_gather=t_cfg["args"].get("use_gather", False),
             taylor_threshold=t_cfg["args"].get("taylor_threshold", 0.5),
             unroll=t_cfg["args"].get("unroll", None),
+            taylor_compositions=t_cfg["args"].get("taylor_compositions", None),
         )
 
         sob = cfg.get("Sobolev_grad", {"enabled": False})

@@ -19,6 +19,7 @@ Gradient-flow invariants kept from the reference:
 
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple
 
 import jax
@@ -194,17 +195,30 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
     max_disp = getattr(bundle.transformation, "max_disp", None)
     if max_disp is not None and not getattr(bundle.transformation, "use_gather", False):
         d = jax.lax.stop_gradient(displacement)
-        # The radius-1 composition scheme only clamps once the total
-        # displacement exceeds the composition count (phase-2 warps clamp
-        # when |u_phi| > 1, i.e. |d| > no_compositions = 2^e with
-        # e = min(no_steps, ceil(log2(max_disp)))) — comparing against
-        # max_disp itself would both over-count for non-power-of-two
-        # max_disp (ADVICE r2) and UNDER-count when no_steps caps e below
-        # ceil(log2(max_disp)), silently missing real clamping.
-        clamp_bound = float(getattr(
-            bundle.transformation, "no_compositions",
-            2 ** max(0, (int(max_disp) - 1).bit_length())))
-        sat = jnp.sum(jnp.any(jnp.abs(d) >= clamp_bound, axis=0))
+        # The count must track where the configured path ACTUALLY clamps
+        # — comparing against max_disp itself would both over-count for
+        # non-power-of-two max_disp (ADVICE r2) and UNDER-count when
+        # no_steps caps e below ceil(log2(max_disp)).  Phase-2 blend warps
+        # clamp the displacement at |u_phi| > 1, i.e. |d| > no_compositions
+        # = 2^e; with ``taylor_compositions`` the displacement path never
+        # clamps (displacement_clamp_bound = inf — its Taylor error grows
+        # gracefully instead), so only the image warp's clamping counts:
+        # the 'pre' cascade at |d| > image_clamp_bound here, the 'post'
+        # block-gather overflow via ``anchor_sat`` above.
+        tr = bundle.transformation
+        default_bound = float(2 ** max(0, (int(max_disp) - 1).bit_length()))
+        if post_noise or anchored:
+            clamp_bound = float(getattr(
+                tr, "displacement_clamp_bound",
+                getattr(tr, "no_compositions", default_bound)))
+        else:
+            clamp_bound = float(getattr(
+                tr, "image_clamp_bound",
+                getattr(tr, "no_compositions", default_bound)))
+        if math.isinf(clamp_bound):
+            sat = jnp.zeros((), jnp.int32)
+        else:
+            sat = jnp.sum(jnp.any(jnp.abs(d) >= clamp_bound, axis=0))
     else:
         sat = jnp.zeros((), jnp.int32)
     sat = sat + anchor_sat

@@ -9,13 +9,15 @@ count.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from ..ops.bspline import CubicBSplineFFD3D, control_grid_size
 from ..ops.grids import identity_grid, normalised_to_voxel, voxel_to_normalised
 from ..ops.resample import grid_sample, grid_sample_2d, warp_bounded
-from ..ops.stencil import taylor_squaring_step
+from ..ops.stencil import taylor_compose_step, taylor_squaring_step
 
 
 class SVF3D:
@@ -49,8 +51,20 @@ class SVF3D:
     analytic gradient is MORE accurate than trilinear interpolation
     (measured vs per-voxel RK4 flow integration: mean err 0.04876 vs
     0.04893 voxels with all squarings in Taylor form) and ~3× cheaper.
-    With the default ``no_steps=12, max_disp=8`` every squaring qualifies,
-    so the only warps left are the 2^e compositions.
+
+    ``taylor_compositions`` (opt-in) extends the same form to phase 2:
+    ``e`` is raised until ``|u_φ| ≤ taylor_threshold`` and each composition
+    runs as ``d' = u_φ + d + (u_φ·∇)d``
+    (ops/stencil.py::taylor_compose_step) — the interpolation it replaces
+    carries the same ``O(|∇²d|·|u_φ|²)`` error at the same offset.  With
+    the defaults (``no_steps=12, max_disp=8, taylor_threshold=0.5``) that
+    means ``e=4``: 8 Taylor squarings + 15 Taylor compositions and NO warp
+    kernels in the displacement path at all.  Measured at 128³ it is
+    NEUTRAL-to-slightly-slower (19.84-19.87 vs 20.42 samples/sec) despite
+    the blend kernels running at only 29% of the HBM roofline: the extra
+    steps (15 vs 7) and the XLA lowering of the fused stencil offset the
+    per-step arithmetic saving — so the default stays ``False`` (the
+    warp-composition split, ``e=3``, offset ≤ 1).
 
     ``max_disp`` is the assumed bound on the total displacement magnitude
     (voxels/axis); beyond it the offsets saturate — detected and surfaced
@@ -58,7 +72,8 @@ class SVF3D:
     """
 
     def __init__(self, dims, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
-                 taylor_threshold: float = 0.5, unroll: int | bool | None = None):
+                 taylor_threshold: float = 0.5, unroll: int | bool | None = None,
+                 taylor_compositions: bool | None = None):
         self.dims = tuple(int(d) for d in dims)
         self.no_steps = int(no_steps)
         self.max_disp = int(max_disp)
@@ -75,13 +90,53 @@ class SVF3D:
         # 128³; partial unroll=4 measured SLOWER than the scan — the
         # chunked residual slicing fuses worse than either extreme).
         self.unroll = unroll
-        # split point: e squarings are replaced by 2^e one-sided compositions
-        e = min(self.no_steps, max(0, (self.max_disp - 1).bit_length()))
+        self.taylor_threshold = float(taylor_threshold)
+        # split point: e squarings are replaced by 2^e one-sided compositions.
+        # With Taylor-form compositions (opt-in; measured neutral-to-slower
+        # at 128³ — see the class docstring) e is raised until the
+        # composition offset |u_phi| <= max_disp / 2^e sits under
+        # taylor_threshold — every phase-2 step is then the pure fused
+        # stencil d' = u + d + (u·∇)d instead of a 27-tap blend kernel.
+        if taylor_compositions is None:
+            taylor_compositions = False
+        bound = (min(self.taylor_threshold, 1.0)
+                 if taylor_compositions and self.taylor_threshold > 0 else 1.0)
+        e = 0
+        if self.max_disp > bound:
+            ratio = int(math.ceil(self.max_disp / bound - 1e-9))
+            e = (ratio - 1).bit_length()
+        if taylor_compositions and e > self.no_steps:
+            # not enough steps to reach a sub-threshold offset — fall back
+            # to the warp-composition split (offset <= 1 voxel)
+            taylor_compositions = False
+            e = min(self.no_steps,
+                    max(0, (self.max_disp - 1).bit_length()))
+        e = min(self.no_steps, e)
+        self.taylor_compositions = bool(taylor_compositions)
         self.no_squarings = self.no_steps - e
         self.no_compositions = 2 ** e
+        # image-cascade grouping ('pre' scheme only): the image is not
+        # smooth, so it composes by radius-1 WARPS regardless — and must
+        # not pay the raised Taylor e in resample count (each resample
+        # low-passes the image; BASELINE.md round 3).  It warps by the
+        # increment ψ = φ^m (displacement d_m from the chain, |d_m| ≤ 1)
+        # every m = 2^(e-e_img) Taylor steps: 2^e_img resamples total,
+        # identical to the warp-composition split.
+        e_img = min(self.no_steps, max(0, (self.max_disp - 1).bit_length()))
+        self.no_image_compositions = 2 ** min(e, e_img)
+        # where each configured path actually CLAMPS (consumed by the
+        # engine's saturation guard, engine/vi.py): phase-2 blend warps
+        # clamp the displacement at |u_φ| > 1, i.e. |d| > 2^e; the
+        # Taylor-form composition chain never clamps the displacement —
+        # its error just grows past the threshold (graceful, second-order)
+        # — so only the IMAGE warp clamps: the grouped ψ-cascade ('pre'
+        # scheme, radius 1 per 2^(e-e_img) steps) at |d| > 2^e_img, or the
+        # block-gather overflow ('post' scheme), which counts itself.
+        self.displacement_clamp_bound = (float("inf") if self.taylor_compositions
+                                         else float(self.no_compositions))
+        self.image_clamp_bound = float(self.no_image_compositions)
         # squaring k sees |u| <= max_disp / 2^(S-k); Taylor while under the
         # threshold (validated at 0.5 vox against the RK4 ground truth)
-        self.taylor_threshold = float(taylor_threshold)
         self.no_taylor = sum(
             1 for k in range(self.no_squarings)
             if self.max_disp / 2 ** (self.no_steps - k) <= self.taylor_threshold
@@ -162,11 +217,47 @@ class SVF3D:
         g = None
         if im is None:
             if N > 1:
-                def compose(d, _):
-                    return u_phi + warp_bounded(d, u_phi, 1), None
+                if self.taylor_compositions:
+                    # d_{j+1} = u_φ + d_j ∘ (id+u_φ) in second-order Taylor
+                    # form — |u_φ| <= taylor_threshold by the choice of e,
+                    # so the expansion error is at or below the trilinear
+                    # blend's at the same offset (see taylor_compose_step)
+                    def compose(d, _):
+                        return taylor_compose_step(d, u_phi), None
+                else:
+                    def compose(d, _):
+                        return u_phi + warp_bounded(d, u_phi, 1), None
 
                 disp, _ = jax.lax.scan(compose, u_phi, None, length=N - 1,
                                        unroll=self._unroll)
+        elif self.taylor_compositions:
+            # displacement composes in Taylor form; the image (not smooth —
+            # no valid Taylor expansion) rides as radius-1 warps by the
+            # grouped increment ψ = φ^m, keeping its resample count at the
+            # warp-composition split's 2^e_img (see __init__)
+            K = self.no_image_compositions
+            m = N // K
+
+            def dstep(d, _):
+                return taylor_compose_step(d, u_phi), None
+
+            u_psi = u_phi
+            if m > 1:
+                u_psi, _ = jax.lax.scan(dstep, u_phi, None, length=m - 1,
+                                        unroll=self._unroll)
+            disp = u_psi
+            g = warp_bounded(im[None] if im.ndim == 3 else im, u_psi, 1)
+            if K > 1:
+                def compose_tg(state, _):
+                    d, gg = state
+                    d, _ = jax.lax.scan(dstep, d, None, length=m,
+                                        unroll=self._unroll)
+                    return (d, warp_bounded(gg, u_psi, 1)), None
+
+                (disp, g), _ = jax.lax.scan(compose_tg, (u_psi, g), None,
+                                            length=K - 1,
+                                            unroll=self._unroll)
+            g = g[0] if im.ndim == 3 else g
         else:
             g0 = im[None] if im.ndim == 3 else im
             g = warp_bounded(g0, u_phi, 1)  # g_1 = im ∘ φ
@@ -283,13 +374,17 @@ class SVFFD3D:
     """
 
     def __init__(self, dims, cps, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
-                 taylor_threshold: float = 0.5, unroll: int | bool | None = None):
+                 taylor_threshold: float = 0.5, unroll: int | bool | None = None,
+                 taylor_compositions: bool | None = None):
         self.dims = tuple(int(d) for d in dims)
         self.cps = tuple(int(c) for c in cps)
         self.ffd = BSplineFFD3D(dims, cps)
         self.svf = SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather,
-                         taylor_threshold=taylor_threshold, unroll=unroll)
+                         taylor_threshold=taylor_threshold, unroll=unroll,
+                         taylor_compositions=taylor_compositions)
         self.max_disp = self.svf.max_disp
+        self.displacement_clamp_bound = self.svf.displacement_clamp_bound
+        self.image_clamp_bound = self.svf.image_clamp_bound
         self.use_gather = self.svf.use_gather
         self.control_dims = self.ffd.control_dims
 
@@ -301,17 +396,20 @@ class SVFFD3D:
 
 
 def make_transformation(kind: str, dims, cps=None, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
-                        taylor_threshold: float = 0.5, unroll: int | bool = False):
+                        taylor_threshold: float = 0.5, unroll: int | bool = False,
+                        taylor_compositions: bool | None = None):
     """Factory used by the config layer (types mirror the reference names)."""
     if kind in ("SVF_3D", "SVF3D"):
         return SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather,
-                     taylor_threshold=taylor_threshold, unroll=unroll)
+                     taylor_threshold=taylor_threshold, unroll=unroll,
+                     taylor_compositions=taylor_compositions)
     if kind in ("SVF_2D", "SVF2D"):
         return SVF2D(dims, no_steps)
     if kind in ("SVFFD_3D", "SVFFD3D"):
         assert cps is not None, "SVFFD requires control point spacing (cps)"
         return SVFFD3D(dims, cps, no_steps, max_disp=max_disp, use_gather=use_gather,
-                       taylor_threshold=taylor_threshold, unroll=unroll)
+                       taylor_threshold=taylor_threshold, unroll=unroll,
+                       taylor_compositions=taylor_compositions)
     if kind in ("Cubic_B_spline_FFD_3D", "BSplineFFD3D"):
         assert cps is not None
         return BSplineFFD3D(dims, cps)

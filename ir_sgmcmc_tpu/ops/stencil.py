@@ -170,6 +170,57 @@ def _taylor_bwd(d, g):
 taylor_squaring_step.defvjp(_taylor_fwd, _taylor_bwd)
 
 
+def _taylor_compose_impl(d: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    # u + d ∘ (id+u) ≈ u + d + (u·∇)d, accumulated one derivative axis at
+    # a time — never materialising the (3, 3, D, H, W) Jacobian
+    out = u + d
+    for c, axis in ((0, -1), (1, -2), (2, -3)):
+        out = out + _fwd_diff_axis(d, axis) * u[c][None]
+    return out
+
+
+@jax.custom_vjp
+def taylor_compose_step(d: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """One second-order one-sided composition ``d' = u + d + (u·∇)d``.
+
+    The Taylor form of the composition-phase recurrence
+    ``T_{j+1} = T_j ∘ φ`` (models/transformation.py phase 2):
+    ``d_{j+1}(p) = u_φ(p) + d_j(p + u_φ(p)) ≈ u_φ + d_j + J_{d_j} u_φ``.
+    Trilinear interpolation of ``d_j`` at offset ``u_φ`` and this expansion
+    both carry an ``O(|∇²d_j| · |u_φ|²)`` error — at sub-voxel offsets the
+    analytic form is the *more* accurate of the two (RK4-oracle measurement
+    in the SVF3D docstring) and runs as pure XLA-fused stencils instead of
+    a 27-tap blend kernel.
+
+    Analytic VJP (the two-operand analogue of :func:`taylor_squaring_step`;
+    plain autodiff would store the 9-channel Jacobian per step):
+        ḡ_u[c] = g_c + Σ_i g_i · (D_c d)_i
+        ḡ_d    = g + Σ_c D_cᵀ(g · u_c)
+    with ``D_c`` the forward difference along component ``c``'s axis.
+    """
+    return _taylor_compose_impl(d, u)
+
+
+def _taylor_compose_fwd(d, u):
+    return _taylor_compose_impl(d, u), (d, u)
+
+
+def _taylor_compose_bwd(res, g):
+    d, u = res
+    gu = g
+    gd = g
+    for c, axis in ((0, -1), (1, -2), (2, -3)):
+        diff = _fwd_diff_axis(d, axis)        # (3, D, H, W)
+        gu = gu.at[c].add(jnp.sum(g * diff, axis=0))
+        transpose = jax.linear_transpose(
+            lambda x: _fwd_diff_axis(x, axis), g)
+        gd = gd + transpose(g * u[c][None])[0]
+    return gd, gu
+
+
+taylor_compose_step.defvjp(_taylor_compose_fwd, _taylor_compose_bwd)
+
+
 def reg_energy(field: jnp.ndarray) -> jnp.ndarray:
     """Squared Frobenius norm of the field Jacobian, ``y = sum ||∇v||²``.
 

@@ -299,6 +299,23 @@ def test_forward_sample_saturation_counter():
         bundle_small, transformation=SVF3D(DIMS, max_disp=2, use_gather=True))
     assert int(forward_sample(bundle_gather, fixed, moving, v_big, key)["sat"]) == 0
 
+    # Taylor-form compositions never clamp the DISPLACEMENT (the stencil
+    # error grows gracefully instead of truncating) — under the 'post'
+    # scheme the only clamping surface is the block warp (which counts its
+    # own overflow; at these tiny dims it falls back to the unbounded
+    # grid_sample), so the guard must not fire on |d| alone
+    tr_taylor = SVF3D(DIMS, no_steps=8, max_disp=2, taylor_compositions=True)
+    assert tr_taylor.displacement_clamp_bound == float("inf")
+    bundle_taylor = replace(bundle_tight, transformation=tr_taylor,
+                            uniform_noise_alpha=0.05, noise_scheme="post")
+    assert int(forward_sample(bundle_taylor, fixed, moving, v_big, key)["sat"]) == 0
+    # …but in the 'pre' scheme the grouped ψ-cascade DOES clamp the image
+    # at |d| > no_image_compositions — the count must survive there
+    bundle_taylor_pre = replace(bundle_taylor, noise_scheme="pre")
+    assert tr_taylor.image_clamp_bound == float(tr_taylor.no_image_compositions)
+    sat_pre = int(forward_sample(bundle_taylor_pre, fixed, moving, v_big, key)["sat"])
+    assert sat_pre > 0.5 * np.prod(DIMS)
+
 
 def test_shared_vs_per_chain_param_schemes_agree():
     """Validation of the round-1 design deviation: per-chain GMM/reg params

@@ -144,3 +144,34 @@ def test_taylor_squaring_step_matches_jacobian_form():
     g_ref = jax.grad(lambda x: jnp.sum(ref(x) * cot))(d)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_taylor_compose_step_matches_jacobian_form():
+    """The two-operand composition step equals u + d + Σ_a J_d[:,a]·u_a,
+    values and BOTH gradients (models/transformation.py phase 2 in Taylor
+    form; the custom VJP must match plain autodiff through the Jacobian
+    formulation)."""
+    import jax
+
+    from ir_sgmcmc_tpu.ops.stencil import gradient, taylor_compose_step
+
+    rng = np.random.default_rng(12)
+    d = jnp.asarray(rng.standard_normal((3, 6, 7, 8)).astype(np.float32)) * 2.0
+    u = jnp.asarray(rng.standard_normal((3, 6, 7, 8)).astype(np.float32)) * 0.5
+
+    def ref(x, y):
+        return y + x + jnp.sum(gradient(x) * y[None, :], axis=1)
+
+    np.testing.assert_allclose(np.asarray(taylor_compose_step(d, u)),
+                               np.asarray(ref(d, u)), atol=1e-6)
+
+    cot = jnp.asarray(rng.standard_normal(d.shape).astype(np.float32))
+    gd_new, gu_new = jax.grad(
+        lambda x, y: jnp.sum(taylor_compose_step(x, y) * cot),
+        argnums=(0, 1))(d, u)
+    gd_ref, gu_ref = jax.grad(
+        lambda x, y: jnp.sum(ref(x, y) * cot), argnums=(0, 1))(d, u)
+    np.testing.assert_allclose(np.asarray(gd_new), np.asarray(gd_ref),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gu_new), np.asarray(gu_ref),
+                               atol=2e-6, rtol=1e-5)

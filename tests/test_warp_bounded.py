@@ -98,6 +98,17 @@ def test_svf_bounded_matches_gather_integration():
     assert diff.max() < 0.15, diff.max()
     np.testing.assert_allclose(np.asarray(T_b), np.asarray(T_g), atol=0.015)
 
+    # the opt-in Taylor-composition path carries the same-order error but
+    # it is UNCORRELATED with the gather path's trilinear error, so
+    # agreement is looser (both sit at the same distance from the RK4
+    # ground truth — see test_svf_integration_accuracy_vs_ode_truth;
+    # measured here: interior max 0.095 on a 2-voxel field)
+    _, d_t = SVF3D(dims, no_steps=8, max_disp=4,
+                   taylor_compositions=True)(jnp.asarray(v))
+    diff_t = np.abs(np.asarray(d_t) - np.asarray(d_g))
+    assert diff_t[interior].max() < 0.15, diff_t[interior].max()
+    assert diff_t.max() < 0.4, diff_t.max()
+
 
 def _smooth_field(rng, dims, peak):
     from scipy.ndimage import gaussian_filter
@@ -148,16 +159,36 @@ def test_svf_integration_accuracy_vs_ode_truth():
 
 
 def test_svf_integration_plan():
-    # exp(v) = φ^(2^e), φ built by radius-1 squarings; e = ceil(log2(max_disp));
-    # squarings whose input bound is <= 0.5 vox run in Taylor form
+    # exp(v) = φ^(2^e), φ built by radius-1 squarings; default (warp
+    # compositions) e = ceil(log2(max_disp)); squarings whose input bound
+    # is <= 0.5 vox run in Taylor form
     svf = SVF3D((16, 16, 16), no_steps=12, max_disp=8)
+    assert not svf.taylor_compositions
     assert (svf.no_squarings, svf.no_compositions, svf.no_taylor) == (9, 8, 9)
-    svf = SVF3D((16, 16, 16), no_steps=4, max_disp=8)
-    assert (svf.no_squarings, svf.no_compositions, svf.no_taylor) == (1, 8, 1)
+    # opt-in Taylor compositions: e = ceil(log2(max_disp/taylor_threshold))
+    # so every composition offset sits under the threshold; the image
+    # ('pre' scheme) groups to 2^e_img = ceil(log2(max_disp)) resamples
+    svf = SVF3D((16, 16, 16), no_steps=12, max_disp=8,
+                taylor_compositions=True)
+    assert svf.taylor_compositions
+    assert (svf.no_squarings, svf.no_compositions, svf.no_taylor,
+            svf.no_image_compositions) == (8, 16, 8, 8)
+    svf = SVF3D((16, 16, 16), no_steps=4, max_disp=8,
+                taylor_compositions=True)
+    assert (svf.no_squarings, svf.no_compositions,
+            svf.no_image_compositions) == (0, 16, 8)
+    # too few steps for a sub-threshold offset -> warp-composition fallback
+    svf = SVF3D((16, 16, 16), no_steps=3, max_disp=8,
+                taylor_compositions=True)
+    assert not svf.taylor_compositions
+    assert (svf.no_squarings, svf.no_compositions) == (0, 8)
     svf = SVF3D((16, 16, 16), no_steps=12, max_disp=1)
     assert (svf.no_squarings, svf.no_compositions, svf.no_taylor) == (12, 1, 12)
+    # threshold 0 disables every Taylor form (warps throughout)
     svf = SVF3D((16, 16, 16), no_steps=12, max_disp=8, taylor_threshold=0.0)
+    assert not svf.taylor_compositions
     assert svf.no_taylor == 0
+    assert (svf.no_squarings, svf.no_compositions) == (9, 8)
 
 
 def test_taylor_squaring_exact_on_linear_field():
