@@ -261,11 +261,14 @@ def main(argv=None):
                         help="integration-scan unroll factor ('true' = fully; "
                              "removes reverse-mode residual-stacking traffic)")
     parser.add_argument("--taylor-threshold", type=float, default=None)
-    parser.add_argument("--taylor-compositions", choices=["on", "off"],
-                        default=None,
-                        help="force the composition phase into Taylor-stencil "
-                             "form ('on') or radius-1 warp kernels ('off'); "
-                             "default: the SVF3D auto rule")
+    parser.add_argument("--taylor-compositions",
+                        choices=["on", "off", "split"], default=None,
+                        help="composition-phase step: 'on' = pure Taylor "
+                             "stencils (unstable end-to-end — kept for the "
+                             "record), 'split' = dimensionally-split "
+                             "per-axis lerps (stable, stencil-speed), "
+                             "'off' = radius-1 warp kernels; default: the "
+                             "SVF3D auto rule")
     parser.add_argument("--use-gather", action="store_true")
     parser.add_argument("--noise-scheme", choices=["pre", "post"],
                         default="post",
@@ -295,7 +298,9 @@ def main(argv=None):
     if args.taylor_threshold is not None:
         svf_kwargs["taylor_threshold"] = args.taylor_threshold
     if args.taylor_compositions is not None:
-        svf_kwargs["taylor_compositions"] = args.taylor_compositions == "on"
+        svf_kwargs["taylor_compositions"] = {
+            "on": True, "off": False, "split": "split",
+        }[args.taylor_compositions]
     if args.use_gather:
         svf_kwargs["use_gather"] = True
 

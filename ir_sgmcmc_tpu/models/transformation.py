@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..ops.bspline import CubicBSplineFFD3D, control_grid_size
 from ..ops.grids import identity_grid, normalised_to_voxel, voxel_to_normalised
 from ..ops.resample import grid_sample, grid_sample_2d, warp_bounded
-from ..ops.stencil import taylor_compose_step, taylor_squaring_step
+from ..ops.stencil import (split_compose_step, taylor_compose_step,
+                           taylor_squaring_step)
 
 
 class SVF3D:
@@ -52,19 +53,27 @@ class SVF3D:
     (measured vs per-voxel RK4 flow integration: mean err 0.04876 vs
     0.04893 voxels with all squarings in Taylor form) and ~3× cheaper.
 
-    ``taylor_compositions`` (opt-in) extends the same form to phase 2:
-    ``e`` is raised until ``|u_φ| ≤ taylor_threshold`` and each composition
-    runs as ``d' = u_φ + d + (u_φ·∇)d``
-    (ops/stencil.py::taylor_compose_step) — the interpolation it replaces
-    carries the same ``O(|∇²d|·|u_φ|²)`` error at the same offset.  With
-    the defaults (``no_steps=12, max_disp=8, taylor_threshold=0.5``) that
-    means ``e=4``: 8 Taylor squarings + 15 Taylor compositions and NO warp
-    kernels in the displacement path at all.  Measured at 128³ it is
-    NEUTRAL-to-slightly-slower (19.84-19.87 vs 20.42 samples/sec) despite
-    the blend kernels running at only 29% of the HBM roofline: the extra
-    steps (15 vs 7) and the XLA lowering of the fused stencil offset the
-    per-step arithmetic saving — so the default stays ``False`` (the
-    warp-composition split, ``e=3``, offset ≤ 1).
+    ``taylor_compositions`` selects the phase-2 step implementation:
+
+    * ``False`` / ``"warp"`` (default): radius-1 blend warps (Pallas
+      kernels on TPU) — 27-tap, measured 28.7% of the HBM roofline
+      (VPU-compute-bound) while carrying 28.6% of device time.
+    * ``"split"``: dimensional splitting — three sequential per-axis
+      2-tap linear interpolations (ops/stencil.py::split_compose_step).
+      Each pass is a convex combination (max principle → unconditionally
+      stable for the same clamped ``|u_φ| ≤ 1`` offsets as the warp) and
+      the whole step runs as XLA-fused stencils near the HBM roofline;
+      the cross-term splitting error is the same ``O(|∂²d|·|u_φ|²)``
+      order as the blend's own interpolation error.
+    * ``True`` / ``"taylor"``: the pure second-order expansion
+      ``d' = u_φ + d + (u_φ·∇)d`` with ``e`` raised until
+      ``|u_φ| ≤ taylor_threshold`` (falls back to warps if ``no_steps``
+      can't reach it).  KEPT FOR THE RECORD: at the e-raised offsets it
+      measured neutral-to-slower (19.85 vs 20.42 samples/sec at 128³),
+      and at warp-split offsets (threshold 1.0) its one-sided ``(u·∇)d``
+      is anti-upwind for positive offsets — end-to-end it folds the
+      transformation at 128³ (BASELINE.md round 3).  Do not use it for
+      real runs.
 
     ``max_disp`` is the assumed bound on the total displacement magnitude
     (voxels/axis); beyond it the offsets saturate — detected and surfaced
@@ -73,7 +82,7 @@ class SVF3D:
 
     def __init__(self, dims, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
                  taylor_threshold: float = 0.5, unroll: int | bool | None = None,
-                 taylor_compositions: bool | None = None):
+                 taylor_compositions: bool | str | None = None):
         self.dims = tuple(int(d) for d in dims)
         self.no_steps = int(no_steps)
         self.max_disp = int(max_disp)
@@ -91,28 +100,39 @@ class SVF3D:
         # chunked residual slicing fuses worse than either extreme).
         self.unroll = unroll
         self.taylor_threshold = float(taylor_threshold)
-        # split point: e squarings are replaced by 2^e one-sided compositions.
-        # With Taylor-form compositions (opt-in; measured neutral-to-slower
-        # at 128³ — see the class docstring) e is raised until the
+        # phase-2 step implementation (see the class docstring); bool /
+        # None accepted for config back-compat
+        if taylor_compositions is None or taylor_compositions is False:
+            form = "warp"
+        elif taylor_compositions is True:
+            form = "taylor"
+        else:
+            form = str(taylor_compositions)
+        if form not in ("warp", "taylor", "split"):
+            raise ValueError(
+                f"taylor_compositions must be one of False/'warp', "
+                f"True/'taylor', 'split'; got {taylor_compositions!r}")
+        # split point: e squarings are replaced by 2^e one-sided
+        # compositions.  'warp' and 'split' run at offset <= 1 voxel
+        # (clamped identically); the pure-Taylor form raises e until the
         # composition offset |u_phi| <= max_disp / 2^e sits under
-        # taylor_threshold — every phase-2 step is then the pure fused
-        # stencil d' = u + d + (u·∇)d instead of a 27-tap blend kernel.
-        if taylor_compositions is None:
-            taylor_compositions = False
+        # taylor_threshold.
         bound = (min(self.taylor_threshold, 1.0)
-                 if taylor_compositions and self.taylor_threshold > 0 else 1.0)
+                 if form == "taylor" and self.taylor_threshold > 0 else 1.0)
         e = 0
         if self.max_disp > bound:
             ratio = int(math.ceil(self.max_disp / bound - 1e-9))
             e = (ratio - 1).bit_length()
-        if taylor_compositions and e > self.no_steps:
-            # not enough steps to reach a sub-threshold offset — fall back
-            # to the warp-composition split (offset <= 1 voxel)
-            taylor_compositions = False
+        if form == "taylor" and (e > self.no_steps
+                                 or self.taylor_threshold <= 0):
+            # not enough steps to reach a sub-threshold offset (or Taylor
+            # disabled outright) — fall back to the warp-composition split
+            form = "warp"
             e = min(self.no_steps,
                     max(0, (self.max_disp - 1).bit_length()))
         e = min(self.no_steps, e)
-        self.taylor_compositions = bool(taylor_compositions)
+        self.composition_form = form
+        self.taylor_compositions = form == "taylor"
         self.no_squarings = self.no_steps - e
         self.no_compositions = 2 ** e
         # image-cascade grouping ('pre' scheme only): the image is not
@@ -125,14 +145,14 @@ class SVF3D:
         e_img = min(self.no_steps, max(0, (self.max_disp - 1).bit_length()))
         self.no_image_compositions = 2 ** min(e, e_img)
         # where each configured path actually CLAMPS (consumed by the
-        # engine's saturation guard, engine/vi.py): phase-2 blend warps
-        # clamp the displacement at |u_φ| > 1, i.e. |d| > 2^e; the
-        # Taylor-form composition chain never clamps the displacement —
+        # engine's saturation guard, engine/vi.py): 'warp' and 'split'
+        # compositions clamp the displacement at |u_φ| > 1, i.e.
+        # |d| > 2^e; the pure-Taylor chain never clamps the displacement —
         # its error just grows past the threshold (graceful, second-order)
-        # — so only the IMAGE warp clamps: the grouped ψ-cascade ('pre'
-        # scheme, radius 1 per 2^(e-e_img) steps) at |d| > 2^e_img, or the
-        # block-gather overflow ('post' scheme), which counts itself.
-        self.displacement_clamp_bound = (float("inf") if self.taylor_compositions
+        # — so only the IMAGE warp clamps there: the grouped ψ-cascade
+        # ('pre' scheme, radius 1 per 2^(e-e_img) steps) at |d| > 2^e_img,
+        # or the block-gather overflow ('post' scheme), which counts itself.
+        self.displacement_clamp_bound = (float("inf") if form == "taylor"
                                          else float(self.no_compositions))
         self.image_clamp_bound = float(self.no_image_compositions)
         # squaring k sees |u| <= max_disp / 2^(S-k); Taylor while under the
@@ -214,23 +234,31 @@ class SVF3D:
         u_phi = disp  # |u_phi| <= max_disp / 2^e <= 1 voxel by assumption
         N = self.no_compositions
 
+        if self.composition_form == "split":
+            # dimensional splitting: three per-axis 2-tap lerps, convex per
+            # voxel (stable), XLA-fused at HBM speed — replaces the 27-tap
+            # blend kernel that measured 28.7% of the roofline
+            def dstep_one(d):
+                return split_compose_step(d, u_phi)
+        elif self.composition_form == "taylor":
+            # d_{j+1} = u_φ + d_j ∘ (id+u_φ) in second-order Taylor form —
+            # |u_φ| <= taylor_threshold by the choice of e (UNSTABLE
+            # end-to-end at warp-split offsets; see the class docstring)
+            def dstep_one(d):
+                return taylor_compose_step(d, u_phi)
+        else:
+            def dstep_one(d):
+                return u_phi + warp_bounded(d, u_phi, 1)
+
         g = None
         if im is None:
             if N > 1:
-                if self.taylor_compositions:
-                    # d_{j+1} = u_φ + d_j ∘ (id+u_φ) in second-order Taylor
-                    # form — |u_φ| <= taylor_threshold by the choice of e,
-                    # so the expansion error is at or below the trilinear
-                    # blend's at the same offset (see taylor_compose_step)
-                    def compose(d, _):
-                        return taylor_compose_step(d, u_phi), None
-                else:
-                    def compose(d, _):
-                        return u_phi + warp_bounded(d, u_phi, 1), None
+                def compose(d, _):
+                    return dstep_one(d), None
 
                 disp, _ = jax.lax.scan(compose, u_phi, None, length=N - 1,
                                        unroll=self._unroll)
-        elif self.taylor_compositions:
+        elif self.composition_form in ("taylor", "split"):
             # displacement composes in Taylor form; the image (not smooth —
             # no valid Taylor expansion) rides as radius-1 warps by the
             # grouped increment ψ = φ^m, keeping its resample count at the
@@ -239,7 +267,7 @@ class SVF3D:
             m = N // K
 
             def dstep(d, _):
-                return taylor_compose_step(d, u_phi), None
+                return dstep_one(d), None
 
             u_psi = u_phi
             if m > 1:
@@ -375,7 +403,7 @@ class SVFFD3D:
 
     def __init__(self, dims, cps, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
                  taylor_threshold: float = 0.5, unroll: int | bool | None = None,
-                 taylor_compositions: bool | None = None):
+                 taylor_compositions: bool | str | None = None):
         self.dims = tuple(int(d) for d in dims)
         self.cps = tuple(int(c) for c in cps)
         self.ffd = BSplineFFD3D(dims, cps)
@@ -397,7 +425,7 @@ class SVFFD3D:
 
 def make_transformation(kind: str, dims, cps=None, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
                         taylor_threshold: float = 0.5, unroll: int | bool = False,
-                        taylor_compositions: bool | None = None):
+                        taylor_compositions: bool | str | None = None):
     """Factory used by the config layer (types mirror the reference names)."""
     if kind in ("SVF_3D", "SVF3D"):
         return SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather,

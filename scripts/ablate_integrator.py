@@ -30,6 +30,17 @@ REPO = Path(__file__).resolve().parent.parent
 STAGES = {
     "taylor": [],
     "warp": ["--taylor-threshold", "0"],
+    # composition phase as fused Taylor stencils at the SAME step count as
+    # the warp split (threshold 1.0 -> e unchanged): +20% samples/sec on
+    # TPU (the warp kernels ran at 29% of HBM SoL, the stencils at ~100%)
+    # but UNSTABLE end-to-end: the one-sided (u.grad)d is anti-upwind for
+    # positive offsets — both 128^3 seeds folded/saturated during VI
+    "taylor_comp1": ["--taylor-compositions", "on",
+                     "--taylor-threshold", "1.0"],
+    # the stable form of the same idea: dimensionally-split per-axis lerps
+    # (convex per pass — max principle), stencil-speed, warp-identical
+    # clamping
+    "split": ["--taylor-compositions", "split"],
     # gather transitions are ~2.5x slower — a 200-step device chunk exceeds
     # the axon worker's single-program duration boundary (BASELINE.md
     # "Scan-chunk TPU fault") and crashes the worker, so cap the chunk

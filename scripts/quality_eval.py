@@ -71,6 +71,11 @@ def main(argv=None):
     p.add_argument("--use-gather", action="store_true",
                    help="SVF integrator: reference-exact gather-based "
                         "squaring (grid_sample self-composition)")
+    p.add_argument("--taylor-compositions", choices=["on", "off", "split"],
+                   default=None,
+                   help="composition-phase step: 'on' = pure Taylor "
+                        "stencils, 'split' = dimensionally-split per-axis "
+                        "lerps, 'off' = radius-1 warp kernels")
     p.add_argument("--noise-scheme", choices=["pre", "post"], default=None,
                    help="uniform transformation-noise scheme: 'post' = "
                         "reference-exact (displacement-only cascade + ONE "
@@ -122,6 +127,10 @@ def main(argv=None):
         "taylor_threshold": args.taylor_threshold,
         "use_gather": args.use_gather,
     }
+    if args.taylor_compositions is not None:
+        cfg["transformation_module"]["args"]["taylor_compositions"] = {
+            "on": True, "off": False, "split": "split",
+        }[args.taylor_compositions]
     trainer_seed = args.seed if args.trainer_seed is None else args.trainer_seed
     cfg["trainer"].update(
         save_dir=out_dir,
@@ -185,6 +194,7 @@ def main(argv=None):
         "trainer_seed": trainer_seed,
         "taylor_threshold": args.taylor_threshold,
         "use_gather": args.use_gather,
+        "taylor_compositions": args.taylor_compositions,
         "gt_peak_disp_vox": round(float(gt_mag.max()), 3),
         "dsc_before": round(summary.get("dsc_before", float("nan")), 4),
         "dsc_vi": round(summary.get("vi_test_mean_dsc", float("nan")), 4),

@@ -146,6 +146,63 @@ def test_taylor_squaring_step_matches_jacobian_form():
                                atol=2e-6, rtol=1e-5)
 
 
+def test_split_compose_step_properties():
+    """Dimensionally-split composition (models/transformation.py phase 2,
+    ``taylor_compositions='split'``): exact on linear fields, convex per
+    pass (max principle — the stability property the pure Taylor form
+    lacks), custom VJP == plain autodiff through the implementation."""
+    import jax
+
+    from ir_sgmcmc_tpu.ops.stencil import _split_compose_impl, split_compose_step
+
+    rng = np.random.default_rng(21)
+    dims = (7, 8, 9)
+
+    # exact on a linear field d(p) = A p + b at CONSTANT offset u (each
+    # axis pass is exact in its own axis and preserves linearity; a
+    # spatially-varying u adds the splitting cross term O(|∇u|·|u|·|∇d|),
+    # bounded by the smooth-field integration parity test in
+    # test_warp_bounded.py) away from the clamped border
+    A = rng.standard_normal((3, 3)).astype(np.float32) * 0.05
+    b = rng.standard_normal(3).astype(np.float32)
+    grids = np.meshgrid(*[np.arange(n, dtype=np.float32) for n in dims],
+                        indexing="ij")
+    p = np.stack([grids[2], grids[1], grids[0]])  # (x, y, z) channels
+    d_lin = jnp.asarray(np.einsum("cd,d...->c...", A, p) + b[:, None, None, None])
+    u_const = np.broadcast_to(
+        np.asarray([0.4, -0.7, 0.9], np.float32)[:, None, None, None],
+        (3,) + dims)
+    out = np.asarray(split_compose_step(d_lin, jnp.asarray(u_const)))
+    # reference: u + d(p + u) evaluated analytically (u channels are
+    # (x, y, z) voxel offsets; p rows are built (x, y, z) to match)
+    du = np.einsum("cd,d...->c...", A, p + u_const) + b[:, None, None, None]
+    ref = u_const + du
+    interior = (slice(None), slice(1, -1), slice(1, -1), slice(1, -1))
+    np.testing.assert_allclose(out[interior], ref[interior], atol=1e-4)
+    u = jnp.asarray((rng.random((3,) + dims) * 2 - 1).astype(np.float32))
+
+    # max principle: the warped part of the output stays within the input's
+    # per-channel range even for rough d (the pure Taylor form amplifies)
+    d_rough = jnp.asarray(rng.standard_normal((3,) + dims).astype(np.float32) * 3)
+    warped = np.asarray(split_compose_step(d_rough, u)) - np.asarray(u)
+    for c in range(3):
+        assert warped[c].max() <= float(d_rough[c].max()) + 1e-5
+        assert warped[c].min() >= float(d_rough[c].min()) - 1e-5
+
+    # custom (recompute) VJP == autodiff through the implementation
+    cot = jnp.asarray(rng.standard_normal((3,) + dims).astype(np.float32))
+    gd_new, gu_new = jax.grad(
+        lambda x, y: jnp.sum(split_compose_step(x, y) * cot),
+        argnums=(0, 1))(d_rough, u)
+    gd_ref, gu_ref = jax.grad(
+        lambda x, y: jnp.sum(_split_compose_impl(x, y) * cot),
+        argnums=(0, 1))(d_rough, u)
+    np.testing.assert_allclose(np.asarray(gd_new), np.asarray(gd_ref),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gu_new), np.asarray(gu_ref),
+                               atol=2e-6, rtol=1e-5)
+
+
 def test_taylor_compose_step_matches_jacobian_form():
     """The two-operand composition step equals u + d + Σ_a J_d[:,a]·u_a,
     values and BOTH gradients (models/transformation.py phase 2 in Taylor

@@ -109,6 +109,15 @@ def test_svf_bounded_matches_gather_integration():
     assert diff_t[interior].max() < 0.15, diff_t[interior].max()
     assert diff_t.max() < 0.4, diff_t.max()
 
+    # the dimensionally-split path replaces each 27-tap blend with three
+    # per-axis lerps — its cross-term error vs the gather path is the same
+    # order as the blend's own interpolation error
+    _, d_s = SVF3D(dims, no_steps=8, max_disp=4,
+                   taylor_compositions="split")(jnp.asarray(v))
+    diff_s = np.abs(np.asarray(d_s) - np.asarray(d_g))
+    assert diff_s[interior].max() < 0.15, diff_s[interior].max()
+    assert diff_s.max() < 0.4, diff_s.max()
+
 
 def _smooth_field(rng, dims, peak):
     from scipy.ndimage import gaussian_filter
@@ -181,7 +190,16 @@ def test_svf_integration_plan():
     svf = SVF3D((16, 16, 16), no_steps=3, max_disp=8,
                 taylor_compositions=True)
     assert not svf.taylor_compositions
+    assert svf.composition_form == "warp"
     assert (svf.no_squarings, svf.no_compositions) == (0, 8)
+    # 'split' keeps the warp-split plan (offsets <= 1, clamped identically)
+    # and only swaps the step implementation
+    svf = SVF3D((16, 16, 16), no_steps=12, max_disp=8,
+                taylor_compositions="split")
+    assert svf.composition_form == "split"
+    assert (svf.no_squarings, svf.no_compositions, svf.no_taylor,
+            svf.no_image_compositions) == (9, 8, 9, 8)
+    assert svf.displacement_clamp_bound == float(svf.no_compositions)
     svf = SVF3D((16, 16, 16), no_steps=12, max_disp=1)
     assert (svf.no_squarings, svf.no_compositions, svf.no_taylor) == (12, 1, 12)
     # threshold 0 disables every Taylor form (warps throughout)
