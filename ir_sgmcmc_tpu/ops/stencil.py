@@ -255,6 +255,33 @@ def _split_compose_impl(d: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return u + _split_warp_impl(d, jnp.clip(u, -1.0, 1.0))
 
 
+def _split_use_pallas(shape):
+    """Pallas dispatch decision for the split step — honours the same
+    trace-time override as the blend kernels (``resample.set_pallas_mode``:
+    the trainer forces the XLA form while building GSPMD-partitioned
+    spatially-sharded steps; tests force ``"interpret"``)."""
+    from . import resample
+    from .pallas_split_warp import split_pallas_applicable
+
+    if resample._PALLAS_OVERRIDE is False:
+        return False
+    if not split_pallas_applicable(shape):
+        return False
+    if resample._PALLAS_OVERRIDE == "interpret":
+        return "interpret"
+    return jax.default_backend() == "tpu"
+
+
+def _split_fwd_dispatch(d, u):
+    mode = _split_use_pallas(d.shape)
+    if mode:
+        from .pallas_split_warp import split_warp_pallas
+
+        return split_warp_pallas(d, u, add_u=True,
+                                 interpret=mode == "interpret")
+    return _split_compose_impl(d, u)
+
+
 @jax.custom_vjp
 def split_compose_step(d: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """One composition ``d' = u + d ∘ (id+u)`` by dimensional splitting.
@@ -268,24 +295,31 @@ def split_compose_step(d: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     (BASELINE.md round 3: 128³ VI folds at thousands of voxels).  The
     splitting error vs the full trilinear blend is the usual
     ``O(|∂²d|·|u|²)`` cross-term — the same order as the blend's own
-    interpolation error — while running as XLA-fused shift/multiply
-    stencils at HBM speed instead of the 27-tap Pallas blend kernel
-    (measured 28.7% of HBM speed-of-light, VPU-bound).
+    interpolation error — and the ``|u| ≤ 1`` clamp matches the warp's,
+    so the saturation-guard semantics are identical.
 
-    The VJP recomputes the two intermediate passes from ``(d, u)`` instead
-    of storing them (they are cheap fused stencils; storing them would add
-    ~150 MB of HBM round-trips per 128³ step) and transposes each pass
-    with ``jax.vjp`` at trace time.
+    On TPU the step dispatches to VMEM-resident Pallas kernels
+    (ops/pallas_split_warp.py) with the blend kernel's one-read-one-write
+    HBM traffic at ~1/3 of its VPU arithmetic; elsewhere it runs as
+    XLA-fused shift/multiply stencils whose VJP recomputes the two
+    intermediate passes from ``(d, u)`` instead of storing them.
     """
-    return _split_compose_impl(d, u)
+    return _split_fwd_dispatch(d, u)
 
 
 def _split_compose_fwd(d, u):
-    return _split_compose_impl(d, u), (d, u)
+    return _split_fwd_dispatch(d, u), (d, u)
 
 
 def _split_compose_bwd(res, g):
     d, u = res
+    mode = _split_use_pallas(d.shape)
+    if mode:
+        from .pallas_split_warp import split_warp_bwd_pallas
+
+        gd, gu = split_warp_bwd_pallas(d, u, g,
+                                       interpret=mode == "interpret")
+        return gd, gu + g  # + g: the direct ``+u`` term of the compose
     _, vjp = jax.vjp(_split_compose_impl, d, u)
     return vjp(g)
 
