@@ -55,16 +55,18 @@ class SVF3D:
 
     ``taylor_compositions`` selects the phase-2 step implementation:
 
-    * ``False`` / ``"warp"`` (default): radius-1 blend warps (Pallas
-      kernels on TPU) — 27-tap, measured 28.7% of the HBM roofline
+    * ``"split"`` (default): dimensional splitting — three sequential
+      per-axis 2-tap linear interpolations (ops/stencil.py::
+      split_compose_step; Pallas kernels on TPU,
+      ops/pallas_split_warp.py).  Each pass is a convex combination (max
+      principle → unconditionally stable for the same clamped
+      ``|u_φ| ≤ 1`` offsets as the warp) and the cross-term splitting
+      error is the same ``O(|∂²d|·|u_φ|²)`` order as the blend's own
+      interpolation error.  Measured at 128³: 27.5 vs 20.4 samples/sec
+      (+34%) with seed-replicated quality parity (BASELINE.md round 3).
+    * ``False`` / ``"warp"``: radius-1 blend warps (Pallas kernels on
+      TPU) — exact trilinear, 27-tap, measured 28.7% of the HBM roofline
       (VPU-compute-bound) while carrying 28.6% of device time.
-    * ``"split"``: dimensional splitting — three sequential per-axis
-      2-tap linear interpolations (ops/stencil.py::split_compose_step).
-      Each pass is a convex combination (max principle → unconditionally
-      stable for the same clamped ``|u_φ| ≤ 1`` offsets as the warp) and
-      the whole step runs as XLA-fused stencils near the HBM roofline;
-      the cross-term splitting error is the same ``O(|∂²d|·|u_φ|²)``
-      order as the blend's own interpolation error.
     * ``True`` / ``"taylor"``: the pure second-order expansion
       ``d' = u_φ + d + (u_φ·∇)d`` with ``e`` raised until
       ``|u_φ| ≤ taylor_threshold`` (falls back to warps if ``no_steps``
@@ -101,8 +103,13 @@ class SVF3D:
         self.unroll = unroll
         self.taylor_threshold = float(taylor_threshold)
         # phase-2 step implementation (see the class docstring); bool /
-        # None accepted for config back-compat
-        if taylor_compositions is None or taylor_compositions is False:
+        # None accepted for config back-compat.  Default: 'split' — +34%
+        # samples/sec over the blend kernels at 128³ with seed-replicated
+        # quality parity (Dice 0.9744±0.0004 vs 0.9752±0.0004, disp err
+        # 0.800 vs 0.798, calibration 0.478 vs 0.479 — BASELINE.md r3)
+        if taylor_compositions is None:
+            form = "split"
+        elif taylor_compositions is False:
             form = "warp"
         elif taylor_compositions is True:
             form = "taylor"

@@ -28,8 +28,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 STAGES = {
-    "taylor": [],
-    "warp": ["--taylor-threshold", "0"],
+    # Taylor squarings + blend-warp compositions (the pre-split default;
+    # recorded rows named 'taylor' used this meaning)
+    "taylor": ["--taylor-compositions", "off"],
+    # all-blend integrator (no Taylor anywhere)
+    "warp": ["--taylor-threshold", "0", "--taylor-compositions", "off"],
     # composition phase as fused Taylor stencils at the SAME step count as
     # the warp split (threshold 1.0 -> e unchanged): +20% samples/sec on
     # TPU (the warp kernels ran at 29% of HBM SoL, the stencils at ~100%)
@@ -38,8 +41,9 @@ STAGES = {
     "taylor_comp1": ["--taylor-compositions", "on",
                      "--taylor-threshold", "1.0"],
     # the stable form of the same idea: dimensionally-split per-axis lerps
-    # (convex per pass — max principle), stencil-speed, warp-identical
-    # clamping
+    # (convex per pass — max principle), Pallas kernels on TPU,
+    # warp-identical clamping.  The DEFAULT since the round-3 flip
+    # (+34% samples/sec at seed-replicated quality parity)
     "split": ["--taylor-compositions", "split"],
     # gather transitions are ~2.5x slower — a 200-step device chunk exceeds
     # the axon worker's single-program duration boundary (BASELINE.md

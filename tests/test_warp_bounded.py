@@ -173,6 +173,11 @@ def test_svf_integration_plan():
     # is <= 0.5 vox run in Taylor form
     svf = SVF3D((16, 16, 16), no_steps=12, max_disp=8)
     assert not svf.taylor_compositions
+    assert svf.composition_form == "split"  # default since the r3 flip
+    assert (svf.no_squarings, svf.no_compositions, svf.no_taylor) == (9, 8, 9)
+    svf = SVF3D((16, 16, 16), no_steps=12, max_disp=8,
+                taylor_compositions=False)
+    assert svf.composition_form == "warp"
     assert (svf.no_squarings, svf.no_compositions, svf.no_taylor) == (9, 8, 9)
     # opt-in Taylor compositions: e = ceil(log2(max_disp/taylor_threshold))
     # so every composition offset sits under the threshold; the image
