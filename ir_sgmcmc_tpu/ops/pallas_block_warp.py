@@ -79,6 +79,36 @@ def block_warp_pallas_applicable(vol_shape, bound: int, radius: int,
     return 8 * C * WR * WR * W * 4 < 48 * 1024 * 1024
 
 
+def _barrel_slice(x, off, base: int, out_extent: int, max_off: int, axis: int):
+    """``out[i] = x[base + off + i]`` along ``axis``, ``off`` a per-lane
+    int32 in ``[0, max_off]`` of shape ``(1, W)``.
+
+    A barrel shifter: one conditional slice-shift per halving of
+    ``max_off`` (``ceil(log2(max_off+1))`` selects) instead of one select
+    per candidate value (``max_off+1`` selects) — the select chains are the
+    kernel's VPU hot spot at 128³ (19 candidates for ``bound=9``).  Greedy
+    stages ``s = ceil(r/2)`` keep the conditional shift in-extent on BOTH
+    branches (the unresolved range ``r`` halves exactly each stage:
+    ``max(r - s, s - 1) = floor(r/2)``), with a running per-lane remainder
+    deciding each stage.
+    """
+    if max_off == 0:
+        return jax.lax.slice_in_dim(x, base, base + out_extent, axis=axis)
+    cur = jax.lax.slice_in_dim(x, base, base + out_extent + max_off, axis=axis)
+    rem = off
+    r = max_off
+    while r:
+        s = (r + 1) // 2
+        r = r // 2
+        ext = out_extent + r
+        take = rem >= s
+        shifted = jax.lax.slice_in_dim(cur, s, s + ext, axis=axis)
+        stay = jax.lax.slice_in_dim(cur, 0, ext, axis=axis)
+        cur = jnp.where(take, shifted, stay)
+        rem = rem - s * take.astype(jnp.int32)
+    return cur
+
+
 def _build_t2(scratch, mrow, *, C, R, BND, p8, W):
     """Shared stage pipeline: x-gather matmul → z-select → y-select.
 
@@ -98,31 +128,42 @@ def _build_t2(scratch, mrow, *, C, R, BND, p8, W):
     iota_o = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
     s2 = scratch[:].reshape(C * WR * WR, W)
 
+    # z/y barrel offsets: mz + BND ∈ [0, 2·BND], window base p8 - R - BND
+    # (≥ 0 because the halo p8 covers bound + radius)
+    off_z = mzl + BND
+    off_y = myl + BND
+    base = p8 - R - BND
+
+    # Exact f32 gather in 3 bf16 MXU passes: the default bf16 pass rounds
+    # the volume's mantissa to 8 bits (measured 2e-3 error) and HIGHEST
+    # costs 6 passes — but P is ONE-HOT (exactly representable in bf16), so
+    # splitting only the volume as f32 = hi + mid + lo (3×8 mantissa bits,
+    # each term bf16-exact) reproduces f32 bit-exactly at half HIGHEST's
+    # MXU time (measured 3.1 → 2.2 ms per 128³ forward warp).
+    s_hi = s2.astype(jnp.bfloat16)
+    rem1 = s2 - s_hi.astype(jnp.float32)
+    s_mid = rem1.astype(jnp.bfloat16)
+    s_lo = (rem1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
     offsets = list(range(-R, R + 1))
     t2 = []
     for ox in offsets:
         xsrc = jnp.clip(iota_o + jnp.broadcast_to(mxl, (W, W)) + ox, 0, W - 1)
-        p_ox = (iota_s == xsrc).astype(jnp.float32)
-        # HIGHEST precision: the default bf16 MXU pass rounds the volume's
-        # mantissa to 8 bits even though P is one-hot (measured 2e-3 error);
-        # the bf16x3 scheme reproduces f32 to ~1e-7
-        x_all = jax.lax.dot_general(
-            s2, p_ox, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        p_ox = (iota_s == xsrc).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        x_all = (
+            jax.lax.dot_general(s_hi, p_ox, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(s_mid, p_ox, dn,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(s_lo, p_ox, dn,
+                                  preferred_element_type=jnp.float32)
+        )
         per_c = []
         for c in range(C):
             xc = x_all[c * WR * WR:(c + 1) * WR * WR].reshape(WR, WR, W)
-            # z-select: leading-dim slices are free; one select per k
-            t1 = jnp.zeros((TW, WR, W), jnp.float32)
-            for k in range(-BND, BND + 1):
-                sl = jax.lax.slice_in_dim(xc, k + p8 - R, k + p8 - R + TW, axis=0)
-                t1 = jnp.where(mzl == k, sl, t1)
-            # y-select: sublane slices are single shifts
-            t2c = jnp.zeros((TW, TW, W), jnp.float32)
-            for k in range(-BND, BND + 1):
-                sl = jax.lax.slice_in_dim(t1, k + p8 - R, k + p8 - R + TW, axis=1)
-                t2c = jnp.where(myl == k, sl, t2c)
+            t1 = _barrel_slice(xc, off_z, base, TW, 2 * BND, axis=0)
+            t2c = _barrel_slice(t1, off_y, base, TW, 2 * BND, axis=1)
             per_c.append(t2c)
         t2.append(per_c)
     return t2
@@ -210,9 +251,13 @@ def _bg_dgrad_kernel(mprof_ref, r_ref, g_ref, vol_hbm, out_ref, scratch, sem,
         zslabs = [[jax.lax.slice_in_dim(t2[ix][c], R + oz, R + oz + 8, axis=0)
                    for c in range(C)] for ix in range(len(offsets))]
         for iy, oy in enumerate(offsets):
-            wzy = wz[iz] * wy[iy]
-            w_dzy = dwz[iz] * wy[iy]
-            w_zdy = wz[iz] * dwy[iy]
+            # factorised per-(oz, oy) partial sums: A = Σ_ox w'x·sg and
+            # B = Σ_ox wx·sg, so each of the 125 taps costs ~5 VPU ops
+            # instead of ~10 (the three acc_* FMAs hoist to once per
+            # (oz, oy)) — the gradient blend is this kernel's VPU-bound
+            # stage (measured 3.0 → 2.4 ms per 128³ dgrad)
+            a_sum = None  # Σ_ox dwx·sg
+            b_sum = None  # Σ_ox wx·sg
             for ix in range(len(offsets)):
                 sg = None
                 for c in range(C):
@@ -220,9 +265,13 @@ def _bg_dgrad_kernel(mprof_ref, r_ref, g_ref, vol_hbm, out_ref, scratch, sem,
                         zslabs[ix][c], R + oy, R + oy + 8, axis=1)
                     t = gs[c] * slab
                     sg = t if sg is None else sg + t
-                acc_x = acc_x + dwx[ix] * (wzy * sg)
-                acc_y = acc_y + wx[ix] * (w_zdy * sg)
-                acc_z = acc_z + wx[ix] * (w_dzy * sg)
+                ta = dwx[ix] * sg
+                tb = wx[ix] * sg
+                a_sum = ta if a_sum is None else a_sum + ta
+                b_sum = tb if b_sum is None else b_sum + tb
+            acc_x = acc_x + (wz[iz] * wy[iy]) * a_sum
+            acc_y = acc_y + (wz[iz] * dwy[iy]) * b_sum
+            acc_z = acc_z + (dwz[iz] * wy[iy]) * b_sum
     out_ref[0] = acc_x
     out_ref[1] = acc_y
     out_ref[2] = acc_z
