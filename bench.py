@@ -270,6 +270,10 @@ def main(argv=None):
                              "'off' = radius-1 warp kernels; default: the "
                              "SVF3D auto rule")
     parser.add_argument("--use-gather", action="store_true")
+    parser.add_argument("--compute-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="reduced-precision squaring-phase compute "
+                             "(SVF3D compute_dtype; default f32)")
     parser.add_argument("--noise-scheme", choices=["pre", "post"],
                         default="post",
                         help="'post' = reference-exact transformation noise "
@@ -303,6 +307,8 @@ def main(argv=None):
         }[args.taylor_compositions]
     if args.use_gather:
         svf_kwargs["use_gather"] = True
+    if args.compute_dtype is not None:
+        svf_kwargs["compute_dtype"] = args.compute_dtype
 
     if args.phase == "vi":
         vi_dims = None if args.dims is None else (args.dims,) * 3

@@ -160,6 +160,7 @@ class Config:
             taylor_threshold=t_cfg["args"].get("taylor_threshold", 0.5),
             unroll=t_cfg["args"].get("unroll", None),
             taylor_compositions=t_cfg["args"].get("taylor_compositions", None),
+            compute_dtype=t_cfg["args"].get("compute_dtype", None),
         )
 
         sob = cfg.get("Sobolev_grad", {"enabled": False})

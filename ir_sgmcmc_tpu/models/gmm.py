@@ -145,8 +145,13 @@ class GMM:
         var = jnp.sum(res_masked**2) / n
 
         def lag1(axis):
-            a = jnp.moveaxis(res_masked, axis, -1)
-            cov = jnp.sum(a[..., :-1] * a[..., 1:]) / n
+            # shifted product along the axis itself — a moveaxis would
+            # materialise a transposed copy of the volume per axis (three
+            # full-volume transposes per VD evaluation on TPU)
+            n1 = res_masked.shape[axis]
+            a = jax.lax.slice_in_dim(res_masked, 0, n1 - 1, axis=axis)
+            b = jax.lax.slice_in_dim(res_masked, 1, n1, axis=axis)
+            cov = jnp.sum(a * b) / n
             # clamp: non-positive correlation means effectively independent
             # voxels -> factor 1 (the reference would NaN here; in practice
             # residual maps are smooth so corr > 0)

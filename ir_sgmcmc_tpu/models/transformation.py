@@ -84,11 +84,22 @@ class SVF3D:
 
     def __init__(self, dims, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
                  taylor_threshold: float = 0.5, unroll: int | bool | None = None,
-                 taylor_compositions: bool | str | None = None):
+                 taylor_compositions: bool | str | None = None,
+                 compute_dtype: str | None = None):
         self.dims = tuple(int(d) for d in dims)
         self.no_steps = int(no_steps)
         self.max_disp = int(max_disp)
         self.use_gather = bool(use_gather)
+        # optional reduced-precision compute for the squaring phase: the
+        # sub-voxel Taylor scan is HBM-bandwidth-bound (fwd + analytic-VJP
+        # backward both stream the (3, D, H, W) carry), so bf16 halves its
+        # traffic.  The displacement magnitudes in this phase are <= 1 voxel
+        # and the scan is followed by f32 compositions, so the error budget
+        # is the bf16 mantissa (2^-8 relative) on a sub-voxel field — see
+        # BASELINE.md round 3 for the measured end-to-end quality.  None /
+        # "float32" = full precision (default).
+        self.compute_dtype = (None if compute_dtype in (None, "float32")
+                              else jnp.dtype(compute_dtype))
         # scan unroll factor for the integration loops: reverse-mode AD
         # through lax.scan stacks each step's residuals with
         # dynamic-update-slices and reads them back with dynamic-slices —
@@ -216,6 +227,11 @@ class SVF3D:
             return transformation, disp, warped
 
         disp = v / float(2 ** self.no_steps)  # voxel units
+        if self.compute_dtype is not None:
+            # run the sub-voxel squaring scans in reduced precision; the
+            # cast's transpose re-casts the incoming cotangent on the way
+            # back into the scan, so the backward rides bf16 too
+            disp = disp.astype(self.compute_dtype)
         if self.no_taylor:
             def taylor_squaring(d, _):
                 # u ∘ (id+u) ≈ u + J_u u, exact for linear fields (tests
@@ -232,12 +248,17 @@ class SVF3D:
             disp, _ = jax.lax.scan(taylor_squaring, disp, None,
                                    length=self.no_taylor, unroll=self._unroll)
         if self.no_squarings - self.no_taylor:
+            if self.compute_dtype is not None:
+                disp = disp.astype(jnp.float32)  # blend kernels are f32
+
             def squaring(d, _):
                 return d + warp_bounded(d, d, 1), None
 
             disp, _ = jax.lax.scan(squaring, disp, None,
                                    length=self.no_squarings - self.no_taylor,
                                    unroll=self._unroll)
+        if self.compute_dtype is not None:
+            disp = disp.astype(jnp.float32)  # compositions stay f32
         u_phi = disp  # |u_phi| <= max_disp / 2^e <= 1 voxel by assumption
         N = self.no_compositions
 
@@ -410,13 +431,15 @@ class SVFFD3D:
 
     def __init__(self, dims, cps, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
                  taylor_threshold: float = 0.5, unroll: int | bool | None = None,
-                 taylor_compositions: bool | str | None = None):
+                 taylor_compositions: bool | str | None = None,
+                 compute_dtype: str | None = None):
         self.dims = tuple(int(d) for d in dims)
         self.cps = tuple(int(c) for c in cps)
         self.ffd = BSplineFFD3D(dims, cps)
         self.svf = SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather,
                          taylor_threshold=taylor_threshold, unroll=unroll,
-                         taylor_compositions=taylor_compositions)
+                         taylor_compositions=taylor_compositions,
+                         compute_dtype=compute_dtype)
         self.max_disp = self.svf.max_disp
         self.displacement_clamp_bound = self.svf.displacement_clamp_bound
         self.image_clamp_bound = self.svf.image_clamp_bound
@@ -432,19 +455,22 @@ class SVFFD3D:
 
 def make_transformation(kind: str, dims, cps=None, no_steps: int = 12, max_disp: int = 8, use_gather: bool = False,
                         taylor_threshold: float = 0.5, unroll: int | bool = False,
-                        taylor_compositions: bool | str | None = None):
+                        taylor_compositions: bool | str | None = None,
+                        compute_dtype: str | None = None):
     """Factory used by the config layer (types mirror the reference names)."""
     if kind in ("SVF_3D", "SVF3D"):
         return SVF3D(dims, no_steps, max_disp=max_disp, use_gather=use_gather,
                      taylor_threshold=taylor_threshold, unroll=unroll,
-                     taylor_compositions=taylor_compositions)
+                     taylor_compositions=taylor_compositions,
+                     compute_dtype=compute_dtype)
     if kind in ("SVF_2D", "SVF2D"):
         return SVF2D(dims, no_steps)
     if kind in ("SVFFD_3D", "SVFFD3D"):
         assert cps is not None, "SVFFD requires control point spacing (cps)"
         return SVFFD3D(dims, cps, no_steps, max_disp=max_disp, use_gather=use_gather,
                        taylor_threshold=taylor_threshold, unroll=unroll,
-                       taylor_compositions=taylor_compositions)
+                       taylor_compositions=taylor_compositions,
+                       compute_dtype=compute_dtype)
     if kind in ("Cubic_B_spline_FFD_3D", "BSplineFFD3D"):
         assert cps is not None
         return BSplineFFD3D(dims, cps)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_warp import _load_windows, _rollx_zero, _shift_x_clamped
+from .pallas_warp import _rollx_zero, _shift_x_clamped
 
 P = 1  # the split step is radius-1 by construction (offsets clamped to ±1)
 
@@ -69,15 +69,14 @@ def _lerp_y(a: jnp.ndarray, uyp, uyn) -> jnp.ndarray:
     return a + uyp * (a_dn - a) - uyn * (a_up - a)
 
 
-def _split_fwd_kernel(x_hbm, out_ref, window, bwin, sem,
+def _split_fwd_kernel(xd_hbm, xu_hbm, out_ref, window, bwin, sem,
                       *, C: int, TD: int, H: int, W: int, add_u: bool):
     i = pl.program_id(0)
     WR = TD + 2 * P
-    Dp = pl.num_programs(0) * TD + 2 * P
     Hp = window.shape[1]
 
-    _load_windows(x_hbm, window, sem, C=C + 3, rows_src=Dp, rows_win=WR,
-                  src0=lambda c: c * Dp + i * TD, win_rows=WR)
+    _load_windows_refs([(xd_hbm, C), (xu_hbm, 3)], window, sem,
+                       i=i, TD=TD, WR=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 1)
 
     def brow(s, _):
@@ -113,8 +112,8 @@ def _split_fwd_kernel(x_hbm, out_ref, window, bwin, sem,
     jax.lax.fori_loop(0, TD, zrow, 0)
 
 
-def _split_bwd_kernel(x_hbm, gd_ref, gu_ref, window, awin, bwin, sem,
-                      *, C: int, TD: int, H: int, W: int, D: int):
+def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
+                      bwin, sem, *, C: int, TD: int, H: int, W: int, D: int):
     """One pass computing ``ḡ_d = L_xᵀ L_yᵀ L_zᵀ g`` and ``ū``.
 
     Window channels: ``[d(C, edge-padded), u(3, edge-padded, RAW),
@@ -127,11 +126,10 @@ def _split_bwd_kernel(x_hbm, gd_ref, gu_ref, window, awin, bwin, sem,
     """
     i = pl.program_id(0)
     WR = TD + 2 * P
-    Dp = pl.num_programs(0) * TD + 2 * P
     Hp = window.shape[1]
 
-    _load_windows(x_hbm, window, sem, C=2 * C + 3, rows_src=Dp, rows_win=WR,
-                  src0=lambda c: c * Dp + i * TD, win_rows=WR)
+    _load_windows_refs([(xd_hbm, C), (xu_hbm, 3), (xg_hbm, C)], window, sem,
+                       i=i, TD=TD, WR=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 0)
 
@@ -241,13 +239,37 @@ def split_pallas_applicable(shape) -> bool:
     return window_bytes < 64 * 1024 * 1024
 
 
-def _pad_stack(arrs, modes, Hp, H):
-    padded = [
-        jnp.pad(a, [(0, 0), (P, P), (P, Hp - H - P), (0, 0)], mode=m)
-        for a, m in zip(arrs, modes)
-    ]
-    x = jnp.concatenate(padded, axis=0)
+def _pad_flat(a, mode, Hp, H):
+    """One array padded to the kernels' flat ``(C·Dp, Hp, W)`` layout.
+
+    Each operand is staged SEPARATELY (no concatenation): the composition
+    scan re-invokes the kernel with the same ``u`` (and the backward with
+    the same ``d`` as its forward), so under the TPU unroll XLA CSEs the
+    identical pads across steps/passes — a concatenated [d|u|g] staging
+    array re-materialises all channels every call (measured ~5% of the
+    128³ transition).
+    """
+    x = jnp.pad(a, [(0, 0), (P, P), (P, Hp - H - P), (0, 0)], mode=mode)
     return x.reshape(x.shape[0] * x.shape[1], Hp, x.shape[3])
+
+
+def _load_windows_refs(srcs, window, sem, *, i, TD, WR):
+    """Per-channel z-window DMAs from MULTIPLE flat sources into one
+    scratch; destination channel-blocks follow the sources in order.  All
+    copies start before any wait (they share one semaphore)."""
+    dmas = []
+    dst = 0
+    for ref, n_chan in srcs:
+        Dp = ref.shape[0] // n_chan
+        for c in range(n_chan):
+            dmas.append(pltpu.make_async_copy(
+                ref.at[pl.ds(c * Dp + i * TD, WR)],
+                window.at[pl.ds(dst * WR, WR)], sem))
+            dst += 1
+    for dma in dmas:
+        dma.start()
+    for dma in dmas:
+        dma.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("add_u", "interpret"))
@@ -261,12 +283,14 @@ def split_warp_pallas(d: jnp.ndarray, u: jnp.ndarray,
         D, H, W = d.shape[-3:]
         TD = 8
         Hp = H + 2 * P + (-(H + 2 * P)) % 8
-        x = _pad_stack([d, u], ["edge", "edge"], Hp, H)
+        xd = _pad_flat(d, "edge", Hp, H)
+        xu = _pad_flat(u, "edge", Hp, H)
         return pl.pallas_call(
             functools.partial(_split_fwd_kernel, C=C, TD=TD, H=H, W=W,
                               add_u=add_u),
             grid=(D // TD,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((C, D, H, W), jnp.float32),
@@ -278,7 +302,7 @@ def split_warp_pallas(d: jnp.ndarray, u: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(x)
+        )(xd, xu)
 
     return call(d, u)
 
@@ -295,11 +319,15 @@ def split_warp_bwd_pallas(d: jnp.ndarray, u: jnp.ndarray, g: jnp.ndarray,
         D, H, W = d.shape[-3:]
         TD = 8
         Hp = H + 2 * P + (-(H + 2 * P)) % 8
-        x = _pad_stack([d, u, g], ["edge", "edge", "constant"], Hp, H)
+        xd = _pad_flat(d, "edge", Hp, H)
+        xu = _pad_flat(u, "edge", Hp, H)
+        xg = _pad_flat(g, "constant", Hp, H)
         return pl.pallas_call(
             functools.partial(_split_bwd_kernel, C=C, TD=TD, H=H, W=W, D=D),
             grid=(D // TD,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -319,6 +347,6 @@ def split_warp_bwd_pallas(d: jnp.ndarray, u: jnp.ndarray, g: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(x)
+        )(xd, xu, xg)
 
     return call(d, u, g)

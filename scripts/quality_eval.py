@@ -76,6 +76,10 @@ def main(argv=None):
                    help="composition-phase step: 'on' = pure Taylor "
                         "stencils, 'split' = dimensionally-split per-axis "
                         "lerps, 'off' = radius-1 warp kernels")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="SVF integrator squaring-phase compute dtype "
+                        "(bfloat16 halves the scan's HBM traffic)")
     p.add_argument("--noise-scheme", choices=["pre", "post"], default=None,
                    help="uniform transformation-noise scheme: 'post' = "
                         "reference-exact (displacement-only cascade + ONE "
@@ -131,6 +135,8 @@ def main(argv=None):
         cfg["transformation_module"]["args"]["taylor_compositions"] = {
             "on": True, "off": False, "split": "split",
         }[args.taylor_compositions]
+    if args.compute_dtype is not None:
+        cfg["transformation_module"]["args"]["compute_dtype"] = args.compute_dtype
     trainer_seed = args.seed if args.trainer_seed is None else args.trainer_seed
     cfg["trainer"].update(
         save_dir=out_dir,
@@ -195,6 +201,7 @@ def main(argv=None):
         "taylor_threshold": args.taylor_threshold,
         "use_gather": args.use_gather,
         "taylor_compositions": args.taylor_compositions,
+        "compute_dtype": args.compute_dtype,
         "gt_peak_disp_vox": round(float(gt_mag.max()), 3),
         "dsc_before": round(summary.get("dsc_before", float("nan")), 4),
         "dsc_vi": round(summary.get("vi_test_mean_dsc", float("nan")), 4),

@@ -187,3 +187,32 @@ def test_bspline_ffd_standalone_transformation():
     # uniform unit control points -> ~1-voxel displacement in the interior
     T1, disp1 = mod(jnp.ones((3,) + mod.control_dims))
     np.testing.assert_allclose(np.asarray(disp1)[:, 3:-3, 3:-3, 3:-3], 1.0, atol=1e-3)
+
+
+def test_svf_compute_dtype_bf16_matches_f32():
+    # the bf16 squaring phase must agree with f32 to bf16 mantissa order
+    # (relative 2^-8 on a sub-voxel field), and gradients must flow
+    import jax
+
+    D = H = W = 16
+    # smooth low-frequency field (the integrator always sees Sobolev-
+    # smoothed velocities; white noise would amplify gradient error
+    # through the squaring chain regardless of dtype)
+    z, y, x = np.meshgrid(*(np.linspace(0, 2 * np.pi, n) for n in (D, H, W)),
+                          indexing="ij")
+    v = np.stack([3.0 * np.sin(z) * np.cos(y), 2.5 * np.sin(x + y),
+                  2.0 * np.cos(z) * np.sin(x)]).astype(np.float32)
+    v = jnp.asarray(v)
+
+    svf32 = SVF3D((D, H, W), max_disp=4)
+    svf16 = SVF3D((D, H, W), max_disp=4, compute_dtype="bfloat16")
+    _, d32 = svf32(v)
+    _, d16 = svf16(v)
+    assert d16.dtype == jnp.float32  # compositions / outputs stay f32
+    err = np.abs(np.asarray(d16) - np.asarray(d32))
+    assert err.max() < 8e-2, err.max()  # ~2^-8 relative on |d| <= 4, compounding over the scan
+
+    g32 = jax.grad(lambda x: jnp.sum(jnp.sin(svf32(x)[1])))(v)
+    g16 = jax.grad(lambda x: jnp.sum(jnp.sin(svf16(x)[1])))(v)
+    rel = np.abs(np.asarray(g16 - g32)).max() / np.abs(np.asarray(g32)).max()
+    assert rel < 8e-2, rel
