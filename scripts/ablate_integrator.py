@@ -45,6 +45,11 @@ STAGES = {
     # warp-identical clamping.  The DEFAULT since the round-3 flip
     # (+34% samples/sec at seed-replicated quality parity)
     "split": ["--taylor-compositions", "split"],
+    # the split default with the squaring phase in bfloat16 (SVF3D
+    # compute_dtype) — the bandwidth-bound sub-voxel Taylor scan halves its
+    # HBM bytes; compositions/outputs/sampler state stay f32
+    "split_bf16": ["--taylor-compositions", "split",
+                   "--compute-dtype", "bfloat16"],
     # gather transitions are ~2.5x slower — a 200-step device chunk exceeds
     # the axon worker's single-program duration boundary (BASELINE.md
     # "Scan-chunk TPU fault") and crashes the worker, so cap the chunk
