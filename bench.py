@@ -272,8 +272,9 @@ def main(argv=None):
     parser.add_argument("--use-gather", action="store_true")
     parser.add_argument("--compute-dtype", default=None,
                         choices=["float32", "bfloat16"],
-                        help="reduced-precision squaring-phase compute "
-                             "(SVF3D compute_dtype; default f32)")
+                        help="squaring-phase compute dtype (SVF3D "
+                             "compute_dtype; default: bfloat16 on TPU, "
+                             "f32 elsewhere)")
     parser.add_argument("--noise-scheme", choices=["pre", "post"],
                         default="post",
                         help="'post' = reference-exact transformation noise "

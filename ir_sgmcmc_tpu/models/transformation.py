@@ -95,11 +95,18 @@ class SVF3D:
         # backward both stream the (3, D, H, W) carry), so bf16 halves its
         # traffic.  The displacement magnitudes in this phase are <= 1 voxel
         # and the scan is followed by f32 compositions, so the error budget
-        # is the bf16 mantissa (2^-8 relative) on a sub-voxel field — see
-        # BASELINE.md round 3 for the measured end-to-end quality.  None /
-        # "float32" = full precision (default).
-        self.compute_dtype = (None if compute_dtype in (None, "float32")
-                              else jnp.dtype(compute_dtype))
+        # is the bf16 mantissa (2^-8 relative) on a sub-voxel field.
+        # ``None`` (default) resolves per backend at trace time like
+        # ``unroll``: bfloat16 on TPU — measured 29.3 → 38.5 samples/sec at
+        # 128³ with seed-replicated quality parity (Dice 0.9743±0.0004,
+        # disp err 0.799, calibration 0.477 — BASELINE.md round 3) — and
+        # float32 elsewhere (CPU gains nothing and the tests' oracle
+        # tolerances assume f32).  "float32" / "bfloat16" force it.
+        if compute_dtype not in (None, "float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be None (auto: bfloat16 on TPU), "
+                f"'float32' or 'bfloat16'; got {compute_dtype!r}")
+        self._compute_dtype_cfg = compute_dtype
         # scan unroll factor for the integration loops: reverse-mode AD
         # through lax.scan stacks each step's residuals with
         # dynamic-update-slices and reads them back with dynamic-slices —
@@ -190,6 +197,16 @@ class SVF3D:
         if self.unroll is None:
             return jax.default_backend() == "tpu"
         return self.unroll
+
+    @property
+    def compute_dtype(self):
+        """Squaring-phase dtype (``None`` = f32), backend-resolved."""
+        if self._compute_dtype_cfg is None:
+            return (jnp.dtype(jnp.bfloat16)
+                    if jax.default_backend() == "tpu" else None)
+        if self._compute_dtype_cfg == "float32":
+            return None
+        return jnp.dtype(self._compute_dtype_cfg)
 
     @property
     def id_grid(self):
