@@ -274,8 +274,12 @@ class SVF3D:
             disp, _ = jax.lax.scan(squaring, disp, None,
                                    length=self.no_squarings - self.no_taylor,
                                    unroll=self._unroll)
-        if self.compute_dtype is not None:
-            disp = disp.astype(jnp.float32)  # compositions stay f32
+        if self.compute_dtype is not None and self.composition_form == "warp":
+            # the radius-1 blend kernels are f32; the split/taylor stencils
+            # are dtype-generic, so those composition scans ride the reduced
+            # precision too (the phase is bandwidth-bound — bf16 halves the
+            # kernels' DMA traffic; outputs are cast back below)
+            disp = disp.astype(jnp.float32)
         u_phi = disp  # |u_phi| <= max_disp / 2^e <= 1 voxel by assumption
         N = self.no_compositions
 
@@ -319,13 +323,18 @@ class SVF3D:
                 u_psi, _ = jax.lax.scan(dstep, u_phi, None, length=m - 1,
                                         unroll=self._unroll)
             disp = u_psi
-            g = warp_bounded(im[None] if im.ndim == 3 else im, u_psi, 1)
+            # the IMAGE rides exact f32 blend warps regardless of the
+            # displacement compositions' compute dtype (the likelihood is
+            # sensitive to the image's resample fidelity — BASELINE.md r3,
+            # anchored-residual finding)
+            u_psi32 = u_psi.astype(jnp.float32)
+            g = warp_bounded(im[None] if im.ndim == 3 else im, u_psi32, 1)
             if K > 1:
                 def compose_tg(state, _):
                     d, gg = state
                     d, _ = jax.lax.scan(dstep, d, None, length=m,
                                         unroll=self._unroll)
-                    return (d, warp_bounded(gg, u_psi, 1)), None
+                    return (d, warp_bounded(gg, u_psi32, 1)), None
 
                 (disp, g), _ = jax.lax.scan(compose_tg, (u_psi, g), None,
                                             length=K - 1,
@@ -348,6 +357,7 @@ class SVF3D:
                                         length=N - 1, unroll=self._unroll)
                 disp, g = state[:3], state[3:]
             g = g[0] if im.ndim == 3 else g
+        disp = disp.astype(jnp.float32)  # outputs are always f32
         transformation = self.id_grid + voxel_to_normalised(disp)
         return transformation, disp, g
 

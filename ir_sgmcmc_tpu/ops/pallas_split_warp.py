@@ -79,13 +79,19 @@ def _split_fwd_kernel(xd_hbm, xu_hbm, out_ref, window, bwin, sem,
                        i=i, TD=TD, WR=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 1)
 
+    def wplane(k, s):
+        # window planes arrive in the HBM dtype (f32 or bf16 — bf16 halves
+        # the DMA traffic of this bandwidth-bound kernel); ALL arithmetic
+        # runs f32 and only the output store rounds back
+        return window[pl.ds(k * WR + s, 1)].reshape(Hp, W).astype(jnp.float32)
+
     def brow(s, _):
-        ux = jnp.clip(window[pl.ds(C * WR + s, 1)].reshape(Hp, W), -1.0, 1.0)
-        uy = jnp.clip(window[pl.ds((C + 1) * WR + s, 1)].reshape(Hp, W), -1.0, 1.0)
+        ux = jnp.clip(wplane(C, s), -1.0, 1.0)
+        uy = jnp.clip(wplane(C + 1, s), -1.0, 1.0)
         uxp, uxn = jnp.maximum(ux, 0.0), jnp.minimum(ux, 0.0)
         uyp, uyn = jnp.maximum(uy, 0.0), jnp.minimum(uy, 0.0)
         for c in range(C):
-            d = window[pl.ds(c * WR + s, 1)].reshape(Hp, W)
+            d = wplane(c, s)
             by = _lerp_y(_lerp_x(d, uxp, uxn, W, col), uyp, uyn)
             bwin[pl.ds(c * WR + s, 1)] = by.reshape(1, Hp, W)
         return 0
@@ -94,9 +100,7 @@ def _split_fwd_kernel(xd_hbm, xu_hbm, out_ref, window, bwin, sem,
 
     def zrow(z, _):
         s = z + P
-        uz = _valid_rows(
-            jnp.clip(window[pl.ds((C + 2) * WR + s, 1)].reshape(Hp, W),
-                     -1.0, 1.0), H)
+        uz = _valid_rows(jnp.clip(wplane(C + 2, s), -1.0, 1.0), H)
         uzp, uzn = jnp.maximum(uz, 0.0), jnp.minimum(uz, 0.0)
         for c in range(C):
             b0 = _valid_rows(bwin[pl.ds(c * WR + s, 1)].reshape(Hp, W), H)
@@ -104,9 +108,8 @@ def _split_fwd_kernel(xd_hbm, xu_hbm, out_ref, window, bwin, sem,
             bm = _valid_rows(bwin[pl.ds(c * WR + s - 1, 1)].reshape(Hp, W), H)
             o = b0 + uzp * (bp - b0) - uzn * (bm - b0)
             if add_u:
-                o = o + _valid_rows(
-                    window[pl.ds((C + c) * WR + s, 1)].reshape(Hp, W), H)
-            out_ref[c, z] = o
+                o = o + _valid_rows(wplane(C + c, s), H)
+            out_ref[c, z] = o.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, TD, zrow, 0)
@@ -133,11 +136,16 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
     col = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 0)
 
+    def dplane(c, s):
+        return window[pl.ds(c * WR + s, 1)].reshape(Hp, W).astype(jnp.float32)
+
     def uplane(k, s):
-        return window[pl.ds((C + k) * WR + s, 1)].reshape(Hp, W)
+        return window[pl.ds((C + k) * WR + s, 1)].reshape(
+            Hp, W).astype(jnp.float32)
 
     def gplane(c, s):
-        return window[pl.ds((C + 3 + c) * WR + s, 1)].reshape(Hp, W)
+        return window[pl.ds((C + 3 + c) * WR + s, 1)].reshape(
+            Hp, W).astype(jnp.float32)
 
     # phase 1: A = L_x(d) and B = L_y(A) for every window row (recompute —
     # storing them in the forward would round-trip 2 volumes through HBM)
@@ -147,7 +155,7 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
         uxp, uxn = jnp.maximum(ux, 0.0), jnp.minimum(ux, 0.0)
         uyp, uyn = jnp.maximum(uy, 0.0), jnp.minimum(uy, 0.0)
         for c in range(C):
-            d = window[pl.ds(c * WR + s, 1)].reshape(Hp, W)
+            d = dplane(c, s)
             a = _lerp_x(d, uxp, uxn, W, col)
             awin[pl.ds(c * WR + s, 1)] = a.reshape(1, Hp, W)
             bwin[pl.ds(c * WR + s, 1)] = _lerp_y(a, uyp, uyn).reshape(1, Hp, W)
@@ -197,10 +205,10 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
                   - _rollx_zero(uxn * t2, -1, W, col))
             gd = gd + jnp.where(col == 0, -uxn * t2, 0.0)
             gd = gd + jnp.where(col == W - 1, uxp * t2, 0.0)
-            gd_ref[c, z] = _valid_rows(gd, H)
+            gd_ref[c, z] = _valid_rows(gd, H).astype(gd_ref.dtype)
 
             # offset gradients: ⟨stage cotangent, ∂L/∂u⟩ per axis
-            d = window[pl.ds(c * WR + s, 1)].reshape(Hp, W)
+            d = dplane(c, s)
             a = awin[pl.ds(c * WR + s, 1)].reshape(Hp, W)
             ddx = jnp.where(ux >= 0.0,
                             _shift_x_clamped(d, 1, W, col) - d,
@@ -217,11 +225,14 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
             guz = guz + g0 * ddz
 
         gu_ref[0, z] = _valid_rows(
-            gux * (jnp.abs(u_raw[0]) < 1.0).astype(jnp.float32), H)
+            gux * (jnp.abs(u_raw[0]) < 1.0).astype(jnp.float32),
+            H).astype(gu_ref.dtype)
         gu_ref[1, z] = _valid_rows(
-            guy * (jnp.abs(u_raw[1]) < 1.0).astype(jnp.float32), H)
+            guy * (jnp.abs(u_raw[1]) < 1.0).astype(jnp.float32),
+            H).astype(gu_ref.dtype)
         gu_ref[2, z] = _valid_rows(
-            guz * (jnp.abs(u_raw[2]) < 1.0).astype(jnp.float32), H)
+            guz * (jnp.abs(u_raw[2]) < 1.0).astype(jnp.float32),
+            H).astype(gu_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, TD, zrow, 0)
@@ -282,9 +293,11 @@ def split_warp_pallas(d: jnp.ndarray, u: jnp.ndarray,
         C = d.shape[0]
         D, H, W = d.shape[-3:]
         TD = 8
-        Hp = H + 2 * P + (-(H + 2 * P)) % 8
+        dt = d.dtype  # window + outputs ride the input dtype (f32 or bf16)
+        sub = 16 if dt == jnp.bfloat16 else 8  # sublane tile
+        Hp = H + 2 * P + (-(H + 2 * P)) % sub
         xd = _pad_flat(d, "edge", Hp, H)
-        xu = _pad_flat(u, "edge", Hp, H)
+        xu = _pad_flat(u.astype(dt), "edge", Hp, H)
         return pl.pallas_call(
             functools.partial(_split_fwd_kernel, C=C, TD=TD, H=H, W=W,
                               add_u=add_u),
@@ -293,9 +306,9 @@ def split_warp_pallas(d: jnp.ndarray, u: jnp.ndarray,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((C, D, H, W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((C, D, H, W), dt),
             scratch_shapes=[
-                pltpu.VMEM(((C + 3) * (TD + 2 * P), Hp, W), jnp.float32),
+                pltpu.VMEM(((C + 3) * (TD + 2 * P), Hp, W), dt),
                 pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
@@ -318,10 +331,12 @@ def split_warp_bwd_pallas(d: jnp.ndarray, u: jnp.ndarray, g: jnp.ndarray,
         C = d.shape[0]
         D, H, W = d.shape[-3:]
         TD = 8
-        Hp = H + 2 * P + (-(H + 2 * P)) % 8
+        dt = d.dtype
+        sub = 16 if dt == jnp.bfloat16 else 8
+        Hp = H + 2 * P + (-(H + 2 * P)) % sub
         xd = _pad_flat(d, "edge", Hp, H)
-        xu = _pad_flat(u, "edge", Hp, H)
-        xg = _pad_flat(g, "constant", Hp, H)
+        xu = _pad_flat(u.astype(dt), "edge", Hp, H)
+        xg = _pad_flat(g.astype(dt), "constant", Hp, H)
         return pl.pallas_call(
             functools.partial(_split_bwd_kernel, C=C, TD=TD, H=H, W=W, D=D),
             grid=(D // TD,),
@@ -335,11 +350,11 @@ def split_warp_bwd_pallas(d: jnp.ndarray, u: jnp.ndarray, g: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((C, D, H, W), jnp.float32),
-                jax.ShapeDtypeStruct((3, D, H, W), jnp.float32),
+                jax.ShapeDtypeStruct((C, D, H, W), dt),
+                jax.ShapeDtypeStruct((3, D, H, W), dt),
             ],
             scratch_shapes=[
-                pltpu.VMEM(((2 * C + 3) * (TD + 2 * P), Hp, W), jnp.float32),
+                pltpu.VMEM(((2 * C + 3) * (TD + 2 * P), Hp, W), dt),
                 pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
                 pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),

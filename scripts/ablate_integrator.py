@@ -50,6 +50,11 @@ STAGES = {
     # HBM bytes; compositions/outputs/sampler state stay f32
     "split_bf16": ["--taylor-compositions", "split",
                    "--compute-dtype", "bfloat16"],
+    # bf16 through the COMPOSITION scans too (the round-3 second flip:
+    # dtype-generic split kernels halve the phase's DMA traffic; recorded
+    # split_bf16 rows predate this and cover the squaring phase only)
+    "split_bf16comp": ["--taylor-compositions", "split",
+                       "--compute-dtype", "bfloat16"],
     # gather transitions are ~2.5x slower — a 200-step device chunk exceeds
     # the axon worker's single-program duration boundary (BASELINE.md
     # "Scan-chunk TPU fault") and crashes the worker, so cap the chunk

@@ -97,3 +97,40 @@ def test_split_applicable():
     assert split_pallas_applicable((128, 128, 128))
     assert not split_pallas_applicable((128, 128, 100))  # unaligned lanes
     assert not split_pallas_applicable((9, 128, 128))    # untileable z
+
+
+def test_split_bf16_matches_f32():
+    """bf16 operands (the TPU composition-phase default when SVF3D's
+    compute_dtype resolves to bfloat16): the kernels stage windows and
+    outputs in bf16 (halving the bandwidth-bound DMA traffic) but run all
+    arithmetic f32, so the error budget vs the f32 kernel is one bf16
+    rounding of the inputs plus one of the outputs."""
+    shape = (8, 8, 128)
+    rng = np.random.default_rng(11)
+    d, u, g = (_rand(rng, (3,) + shape, s).astype(jnp.bfloat16)
+               for s in (2.0, 0.9, 1.0))
+    # the reference is the XLA impl ON THE ROUNDED inputs — comparing
+    # against unrounded f32 inputs would flip the |u| >= 1 clip mask for
+    # offsets whose bf16 rounding crosses 1.0
+    d32, u32, g32 = (x.astype(jnp.float32) for x in (d, u, g))
+
+    out = split_warp_pallas(d, u, add_u=True, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _split_compose_impl(d32, u32)
+    # |d| <= ~8 here, so one bf16 ulp is ~8 * 2^-8 = 0.03
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=6e-2)
+
+    gd, gu_warp = split_warp_bwd_pallas(d, u, g, interpret=True)
+    assert gd.dtype == jnp.bfloat16 and gu_warp.dtype == jnp.bfloat16
+    gd_ref, gu_ref = jax.vjp(_split_compose_impl, d32, u32)[1](g32)
+    gu = gu_warp.astype(jnp.float32) + g32
+    np.testing.assert_allclose(np.asarray(gd, np.float32),
+                               np.asarray(gd_ref), atol=8e-2)
+    # at |u| EXACTLY 1.0 (common after bf16 rounding, measure-zero in f32)
+    # the clip subgradient conventions differ: XLA's min/max VJP passes
+    # half the cotangent, the kernel's strict |u| < 1 mask passes none —
+    # both valid subgradients, so compare only off the tie set
+    interior = np.abs(np.asarray(u32)) != 1.0
+    np.testing.assert_allclose(np.asarray(gu)[interior],
+                               np.asarray(gu_ref)[interior], atol=1e-1)

@@ -208,7 +208,8 @@ def test_svf_compute_dtype_bf16_matches_f32():
     svf16 = SVF3D((D, H, W), max_disp=4, compute_dtype="bfloat16")
     _, d32 = svf32(v)
     _, d16 = svf16(v)
-    assert d16.dtype == jnp.float32  # compositions / outputs stay f32
+    assert d16.dtype == jnp.float32  # outputs stay f32 (split compositions
+    # ride bf16 internally since round 3 — the kernels compute f32)
     err = np.abs(np.asarray(d16) - np.asarray(d32))
     assert err.max() < 8e-2, err.max()  # ~2^-8 relative on |d| <= 4, compounding over the scan
 
