@@ -11,7 +11,11 @@ one read of ``d`` + ``u`` and one write of the output per direction —
 at ~1/3 the 27-tap kernel's VPU arithmetic:
 
 * the volume rides the same per-channel haloed z-window DMA as
-  ops/pallas_warp.py (z halo 1, y edge-padded, lane dim untouched);
+  ops/pallas_warp.py, but from UNPADDED operands: the window start is
+  clamped in-bounds and a per-program row offset re-aligns it
+  (:func:`_window_geometry`), y edges are in-kernel clamped selects —
+  the old edge-pad pass cost a full extra read+write of every operand
+  (measured 7.8% of a 128³ transition);
   the offsets ``u`` ride the same window (weights at the SOURCE slice
   are needed by the x/y passes of neighbouring output slices);
 * phase 1 computes the x- then y-passed slabs ``B = L_y(L_x(d))`` for
@@ -45,11 +49,25 @@ from .pallas_warp import _rollx_zero, _shift_x_clamped
 P = 1  # the split step is radius-1 by construction (offsets clamped to ±1)
 
 
-def _valid_rows(plane: jnp.ndarray, H: int) -> jnp.ndarray:
-    """Rows ``[P, P+H)`` of a padded ``(Hp, W)`` plane (roll+prefix-slice —
-    the aligned idiom the blend kernels use)."""
-    Hp = plane.shape[0]
-    return pltpu.roll(plane, (-P) % Hp, axis=0)[0:H, :]
+def _shift_y_clamped(plane: jnp.ndarray, oy: int, H: int, row):
+    """``plane`` shifted by ``oy`` along the sublane axis, border-clamped
+    (the y analog of ``_shift_x_clamped`` — operands are UNPADDED since
+    round 3, so edge replication is an in-kernel select, not a pad pass)."""
+    rolled = pltpu.roll(plane, (-oy) % H, axis=0)
+    if oy > 0:
+        edge = jax.lax.slice_in_dim(plane, H - 1, H, axis=0)
+        return jnp.where(row < H - oy, rolled, edge)
+    edge = jax.lax.slice_in_dim(plane, 0, 1, axis=0)
+    return jnp.where(row >= -oy, rolled, edge)
+
+
+def _rolly_zero(plane: jnp.ndarray, oy: int, H: int, row):
+    """``plane`` shifted by ``oy`` along sublanes with ZERO fill (transpose
+    helper — mass may not wrap across the volume edge)."""
+    rolled = pltpu.roll(plane, (-oy) % H, axis=0)
+    if oy > 0:
+        return jnp.where(row < H - oy, rolled, 0.0)
+    return jnp.where(row >= -oy, rolled, 0.0)
 
 
 def _lerp_x(d: jnp.ndarray, uxp, uxn, W: int, col) -> jnp.ndarray:
@@ -58,32 +76,50 @@ def _lerp_x(d: jnp.ndarray, uxp, uxn, W: int, col) -> jnp.ndarray:
               - uxn * (_shift_x_clamped(d, -1, W, col) - d))
 
 
-def _lerp_y(a: jnp.ndarray, uyp, uyn) -> jnp.ndarray:
-    # a(p + uy·e_y) on an edge-padded plane: the ±1-row neighbours of every
-    # VALID row exist in the padding (wraparound only touches rows the
-    # z-pass never reads), and the edge padding makes the border rows
-    # replicate — exactly the XLA impl's clamp semantics
-    Hp = a.shape[0]
-    a_dn = pltpu.roll(a, (-1) % Hp, axis=0)  # row r -> a(r+1)
-    a_up = pltpu.roll(a, 1, axis=0)          # row r -> a(r-1)
+def _lerp_y(a: jnp.ndarray, uyp, uyn, H: int, row) -> jnp.ndarray:
+    # a(p + uy·e_y), border-clamped rows (replicate — the XLA impl's clamp)
+    a_dn = _shift_y_clamped(a, 1, H, row)   # row r -> a(r+1)
+    a_up = _shift_y_clamped(a, -1, H, row)  # row r -> a(r-1)
     return a + uyp * (a_dn - a) - uyn * (a_up - a)
 
 
+def _window_geometry(i, TD: int, D: int):
+    """Clamped z-window placement for UNPADDED operands.
+
+    The desired window covers global rows ``[i·TD - P, i·TD + TD + P)``;
+    the DMA reads ``E = min(TD + 2P, D)`` in-bounds rows starting at
+    ``start = clamp(i·TD - P, 0, D - E)``.  ``delta = (i·TD - P) - start``
+    maps desired window row ``s`` to loaded row ``clamp(s + delta,
+    0, E-1)`` — the clamp IS the z edge replication the old edge-pad pass
+    provided (a full extra read+write of every operand, measured 7.8% of
+    a 128³ transition).
+    """
+    E = min(TD + 2 * P, D)
+    z0 = i * TD - P
+    start = jnp.clip(z0, 0, D - E)
+    delta = z0 - start
+    return E, z0, start, delta
+
+
 def _split_fwd_kernel(xd_hbm, xu_hbm, out_ref, window, bwin, sem,
-                      *, C: int, TD: int, H: int, W: int, add_u: bool):
+                      *, C: int, TD: int, H: int, W: int, D: int,
+                      add_u: bool):
     i = pl.program_id(0)
     WR = TD + 2 * P
-    Hp = window.shape[1]
+    E, _, start, delta = _window_geometry(i, TD, D)
 
-    _load_windows_refs([(xd_hbm, C), (xu_hbm, 3)], window, sem,
-                       i=i, TD=TD, WR=WR)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 1)
+    _load_windows_refs([(xd_hbm, C, D), (xu_hbm, 3, D)], window, sem,
+                       start=start, E=E)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
 
     def wplane(k, s):
         # window planes arrive in the HBM dtype (f32 or bf16 — bf16 halves
         # the DMA traffic of this bandwidth-bound kernel); ALL arithmetic
-        # runs f32 and only the output store rounds back
-        return window[pl.ds(k * WR + s, 1)].reshape(Hp, W).astype(jnp.float32)
+        # runs f32 and only the output store rounds back.  ``s`` is a
+        # DESIRED window row; the clip replicates the z edges.
+        si = jnp.clip(s + delta, 0, E - 1)
+        return window[pl.ds(k * E + si, 1)].reshape(H, W).astype(jnp.float32)
 
     def brow(s, _):
         ux = jnp.clip(wplane(C, s), -1.0, 1.0)
@@ -92,23 +128,23 @@ def _split_fwd_kernel(xd_hbm, xu_hbm, out_ref, window, bwin, sem,
         uyp, uyn = jnp.maximum(uy, 0.0), jnp.minimum(uy, 0.0)
         for c in range(C):
             d = wplane(c, s)
-            by = _lerp_y(_lerp_x(d, uxp, uxn, W, col), uyp, uyn)
-            bwin[pl.ds(c * WR + s, 1)] = by.reshape(1, Hp, W)
+            by = _lerp_y(_lerp_x(d, uxp, uxn, W, col), uyp, uyn, H, rowv)
+            bwin[pl.ds(c * WR + s, 1)] = by.reshape(1, H, W)
         return 0
 
     jax.lax.fori_loop(0, WR, brow, 0)
 
     def zrow(z, _):
         s = z + P
-        uz = _valid_rows(jnp.clip(wplane(C + 2, s), -1.0, 1.0), H)
+        uz = jnp.clip(wplane(C + 2, s), -1.0, 1.0)
         uzp, uzn = jnp.maximum(uz, 0.0), jnp.minimum(uz, 0.0)
         for c in range(C):
-            b0 = _valid_rows(bwin[pl.ds(c * WR + s, 1)].reshape(Hp, W), H)
-            bp = _valid_rows(bwin[pl.ds(c * WR + s + 1, 1)].reshape(Hp, W), H)
-            bm = _valid_rows(bwin[pl.ds(c * WR + s - 1, 1)].reshape(Hp, W), H)
+            b0 = bwin[pl.ds(c * WR + s, 1)].reshape(H, W)
+            bp = bwin[pl.ds(c * WR + s + 1, 1)].reshape(H, W)
+            bm = bwin[pl.ds(c * WR + s - 1, 1)].reshape(H, W)
             o = b0 + uzp * (bp - b0) - uzn * (bm - b0)
             if add_u:
-                o = o + _valid_rows(wplane(C + c, s), H)
+                o = o + wplane(C + c, s)
             out_ref[c, z] = o.astype(out_ref.dtype)
         return 0
 
@@ -119,8 +155,10 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
                       bwin, sem, *, C: int, TD: int, H: int, W: int, D: int):
     """One pass computing ``ḡ_d = L_xᵀ L_yᵀ L_zᵀ g`` and ``ū``.
 
-    Window channels: ``[d(C, edge-padded), u(3, edge-padded, RAW),
-    g(C, zero-padded)]``.  The transpose is written in gather form, so
+    Window channels: ``[d(C), u(3, RAW), g(C)]`` — unpadded; z edges
+    replicate through the clamped window indexing, and ``gplane``
+    zero-masks out-of-volume cotangent rows.  The transpose is written
+    in gather form, so
     each output row only reads its ±1 window neighbours; the
     replicate-pad transposes become explicit edge folds (masks on the
     global first/last row, column 0/W-1) — mirroring the tblend kernel's
@@ -129,23 +167,32 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
     """
     i = pl.program_id(0)
     WR = TD + 2 * P
-    Hp = window.shape[1]
+    E, z0, start, delta = _window_geometry(i, TD, D)
 
-    _load_windows_refs([(xd_hbm, C), (xu_hbm, 3), (xg_hbm, C)], window, sem,
-                       i=i, TD=TD, WR=WR)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 0)
+    _load_windows_refs([(xd_hbm, C, D), (xu_hbm, 3, D), (xg_hbm, C, D)],
+                       window, sem, start=start, E=E)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
 
     def dplane(c, s):
-        return window[pl.ds(c * WR + s, 1)].reshape(Hp, W).astype(jnp.float32)
+        si = jnp.clip(s + delta, 0, E - 1)
+        return window[pl.ds(c * E + si, 1)].reshape(H, W).astype(jnp.float32)
 
     def uplane(k, s):
-        return window[pl.ds((C + k) * WR + s, 1)].reshape(
-            Hp, W).astype(jnp.float32)
+        si = jnp.clip(s + delta, 0, E - 1)
+        return window[pl.ds((C + k) * E + si, 1)].reshape(
+            H, W).astype(jnp.float32)
 
     def gplane(c, s):
-        return window[pl.ds((C + 3 + c) * WR + s, 1)].reshape(
-            Hp, W).astype(jnp.float32)
+        # the z-transpose needs out-of-volume cotangent rows to carry NO
+        # mass (the old zero-pad): mask rows whose global index z0+s is
+        # outside [0, D)
+        si = jnp.clip(s + delta, 0, E - 1)
+        plane = window[pl.ds((C + 3 + c) * E + si, 1)].reshape(
+            H, W).astype(jnp.float32)
+        gl = z0 + s
+        inb = jnp.logical_and(gl >= 0, gl < D).astype(jnp.float32)
+        return plane * inb
 
     # phase 1: A = L_x(d) and B = L_y(A) for every window row (recompute —
     # storing them in the forward would round-trip 2 volumes through HBM)
@@ -157,8 +204,9 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
         for c in range(C):
             d = dplane(c, s)
             a = _lerp_x(d, uxp, uxn, W, col)
-            awin[pl.ds(c * WR + s, 1)] = a.reshape(1, Hp, W)
-            bwin[pl.ds(c * WR + s, 1)] = _lerp_y(a, uyp, uyn).reshape(1, Hp, W)
+            awin[pl.ds(c * WR + s, 1)] = a.reshape(1, H, W)
+            bwin[pl.ds(c * WR + s, 1)] = _lerp_y(
+                a, uyp, uyn, H, row).reshape(1, H, W)
         return 0
 
     jax.lax.fori_loop(0, WR, abrow, 0)
@@ -181,101 +229,94 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
         uz_m = jnp.clip(uplane(2, s - 1), -1.0, 1.0)
         uz_p = jnp.clip(uplane(2, s + 1), -1.0, 1.0)
 
-        gux = jnp.zeros((Hp, W), jnp.float32)
-        guy = jnp.zeros((Hp, W), jnp.float32)
-        guz = jnp.zeros((Hp, W), jnp.float32)
+        gux = jnp.zeros((H, W), jnp.float32)
+        guy = jnp.zeros((H, W), jnp.float32)
+        guz = jnp.zeros((H, W), jnp.float32)
         for c in range(C):
             g0 = gplane(c, s)
-            # T1 = L_zᵀ g  (g is zero-padded, so out-of-volume rows carry
-            # no mass; the replicate-pad transpose is the two edge folds)
+            # T1 = L_zᵀ g  (gplane zero-masks out-of-volume rows, so they
+            # carry no mass; the replicate-pad transpose is the two edge
+            # folds)
             t1 = ((1.0 - jnp.abs(uz)) * g0
                   + jnp.maximum(uz_m, 0.0) * gplane(c, s - 1)
                   - jnp.minimum(uz_p, 0.0) * gplane(c, s + 1))
             t1 = t1 + jnp.where(first, -uzn * g0, 0.0)
             t1 = t1 + jnp.where(last, uzp * g0, 0.0)
-            # T2 = L_yᵀ T1 (in-plane; folds on the first/last VALID row)
+            # T2 = L_yᵀ T1 (in-plane; zero-fill shifts + folds on the
+            # first/last row)
             t2 = (w0y * t1
-                  + pltpu.roll(uyp * t1, 1, axis=0)
-                  - pltpu.roll(uyn * t1, (-1) % Hp, axis=0))
-            t2 = t2 + jnp.where(row == P, -uyn * t1, 0.0)
-            t2 = t2 + jnp.where(row == P + H - 1, uyp * t1, 0.0)
+                  + _rolly_zero(uyp * t1, -1, H, row)
+                  - _rolly_zero(uyn * t1, 1, H, row))
+            t2 = t2 + jnp.where(row == 0, -uyn * t1, 0.0)
+            t2 = t2 + jnp.where(row == H - 1, uyp * t1, 0.0)
             # ḡ_d = L_xᵀ T2 (in-plane; folds on columns 0 / W-1)
             gd = (w0x * t2
                   + _rollx_zero(uxp * t2, 1, W, col)
                   - _rollx_zero(uxn * t2, -1, W, col))
             gd = gd + jnp.where(col == 0, -uxn * t2, 0.0)
             gd = gd + jnp.where(col == W - 1, uxp * t2, 0.0)
-            gd_ref[c, z] = _valid_rows(gd, H).astype(gd_ref.dtype)
+            gd_ref[c, z] = gd.astype(gd_ref.dtype)
 
             # offset gradients: ⟨stage cotangent, ∂L/∂u⟩ per axis
             d = dplane(c, s)
-            a = awin[pl.ds(c * WR + s, 1)].reshape(Hp, W)
+            a = awin[pl.ds(c * WR + s, 1)].reshape(H, W)
             ddx = jnp.where(ux >= 0.0,
                             _shift_x_clamped(d, 1, W, col) - d,
                             d - _shift_x_clamped(d, -1, W, col))
             gux = gux + t2 * ddx
             ddy = jnp.where(uy >= 0.0,
-                            pltpu.roll(a, (-1) % Hp, axis=0) - a,
-                            a - pltpu.roll(a, 1, axis=0))
+                            _shift_y_clamped(a, 1, H, row) - a,
+                            a - _shift_y_clamped(a, -1, H, row))
             guy = guy + t1 * ddy
-            b0 = bwin[pl.ds(c * WR + s, 1)].reshape(Hp, W)
-            bp = bwin[pl.ds(c * WR + s + 1, 1)].reshape(Hp, W)
-            bm = bwin[pl.ds(c * WR + s - 1, 1)].reshape(Hp, W)
+            b0 = bwin[pl.ds(c * WR + s, 1)].reshape(H, W)
+            bp = bwin[pl.ds(c * WR + s + 1, 1)].reshape(H, W)
+            bm = bwin[pl.ds(c * WR + s - 1, 1)].reshape(H, W)
             ddz = jnp.where(uz >= 0.0, bp - b0, b0 - bm)
             guz = guz + g0 * ddz
 
-        gu_ref[0, z] = _valid_rows(
-            gux * (jnp.abs(u_raw[0]) < 1.0).astype(jnp.float32),
-            H).astype(gu_ref.dtype)
-        gu_ref[1, z] = _valid_rows(
-            guy * (jnp.abs(u_raw[1]) < 1.0).astype(jnp.float32),
-            H).astype(gu_ref.dtype)
-        gu_ref[2, z] = _valid_rows(
-            guz * (jnp.abs(u_raw[2]) < 1.0).astype(jnp.float32),
-            H).astype(gu_ref.dtype)
+        gu_ref[0, z] = (
+            gux * (jnp.abs(u_raw[0]) < 1.0).astype(jnp.float32)
+        ).astype(gu_ref.dtype)
+        gu_ref[1, z] = (
+            guy * (jnp.abs(u_raw[1]) < 1.0).astype(jnp.float32)
+        ).astype(gu_ref.dtype)
+        gu_ref[2, z] = (
+            guz * (jnp.abs(u_raw[2]) < 1.0).astype(jnp.float32)
+        ).astype(gu_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, TD, zrow, 0)
 
 
-def split_pallas_applicable(shape) -> bool:
-    """Same lane/tile rules as the blend kernels (pallas_warp.py)."""
+def split_pallas_applicable(shape, dtype=jnp.float32) -> bool:
+    """Same lane/tile rules as the blend kernels (pallas_warp.py); H must
+    be sublane-tileable for ``dtype`` since round 3 (operands are unpadded
+    — in-kernel rolls/selects handle the edges, so no alignment padding
+    exists to absorb a ragged H)."""
     D, H, W = shape[-3:]
+    sub = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
     if W % 128 != 0 or W > 1024:
         return False
-    if D % 8 != 0:
+    if D % 8 != 0 or H % sub != 0:
         return False
     # bwd scratches: 9-channel window + A + B (3 each), 10 rows per channel
-    window_bytes = 15 * (8 + 2 * P) * (H + 2 * P + 8) * W * 4
+    window_bytes = 15 * (8 + 2 * P) * (H + 8) * W * 4
     return window_bytes < 64 * 1024 * 1024
 
 
-def _pad_flat(a, mode, Hp, H):
-    """One array padded to the kernels' flat ``(C·Dp, Hp, W)`` layout.
-
-    Each operand is staged SEPARATELY (no concatenation): the composition
-    scan re-invokes the kernel with the same ``u`` (and the backward with
-    the same ``d`` as its forward), so under the TPU unroll XLA CSEs the
-    identical pads across steps/passes — a concatenated [d|u|g] staging
-    array re-materialises all channels every call (measured ~5% of the
-    128³ transition).
-    """
-    x = jnp.pad(a, [(0, 0), (P, P), (P, Hp - H - P), (0, 0)], mode=mode)
-    return x.reshape(x.shape[0] * x.shape[1], Hp, x.shape[3])
-
-
-def _load_windows_refs(srcs, window, sem, *, i, TD, WR):
-    """Per-channel z-window DMAs from MULTIPLE flat sources into one
-    scratch; destination channel-blocks follow the sources in order.  All
-    copies start before any wait (they share one semaphore)."""
+def _load_windows_refs(srcs, window, sem, *, start, E):
+    """Per-channel z-window DMAs from MULTIPLE flat ``(C·D, H, W)`` sources
+    into one scratch; destination channel-blocks follow the sources in
+    order.  All copies start before any wait (they share one semaphore).
+    ``start``/``E`` place the clamped in-bounds window
+    (:func:`_window_geometry`) — operands carry NO padding."""
     dmas = []
     dst = 0
-    for ref, n_chan in srcs:
-        Dp = ref.shape[0] // n_chan
+    for ref, n_chan, D in srcs:
         for c in range(n_chan):
             dmas.append(pltpu.make_async_copy(
-                ref.at[pl.ds(c * Dp + i * TD, WR)],
-                window.at[pl.ds(dst * WR, WR)], sem))
+                ref.at[pl.ds(c * D + start, E)],
+                window.at[pl.ds(dst * E, E)], sem))
             dst += 1
     for dma in dmas:
         dma.start()
@@ -293,13 +334,12 @@ def split_warp_pallas(d: jnp.ndarray, u: jnp.ndarray,
         C = d.shape[0]
         D, H, W = d.shape[-3:]
         TD = 8
+        E = min(TD + 2 * P, D)
         dt = d.dtype  # window + outputs ride the input dtype (f32 or bf16)
-        sub = 16 if dt == jnp.bfloat16 else 8  # sublane tile
-        Hp = H + 2 * P + (-(H + 2 * P)) % sub
-        xd = _pad_flat(d, "edge", Hp, H)
-        xu = _pad_flat(u.astype(dt), "edge", Hp, H)
+        xd = d.reshape(C * D, H, W)                 # free bitcast — no pad
+        xu = u.astype(dt).reshape(3 * D, H, W)
         return pl.pallas_call(
-            functools.partial(_split_fwd_kernel, C=C, TD=TD, H=H, W=W,
+            functools.partial(_split_fwd_kernel, C=C, TD=TD, H=H, W=W, D=D,
                               add_u=add_u),
             grid=(D // TD,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -308,8 +348,8 @@ def split_warp_pallas(d: jnp.ndarray, u: jnp.ndarray,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((C, D, H, W), dt),
             scratch_shapes=[
-                pltpu.VMEM(((C + 3) * (TD + 2 * P), Hp, W), dt),
-                pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
+                pltpu.VMEM(((C + 3) * E, H, W), dt),
+                pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -331,12 +371,11 @@ def split_warp_bwd_pallas(d: jnp.ndarray, u: jnp.ndarray, g: jnp.ndarray,
         C = d.shape[0]
         D, H, W = d.shape[-3:]
         TD = 8
+        E = min(TD + 2 * P, D)
         dt = d.dtype
-        sub = 16 if dt == jnp.bfloat16 else 8
-        Hp = H + 2 * P + (-(H + 2 * P)) % sub
-        xd = _pad_flat(d, "edge", Hp, H)
-        xu = _pad_flat(u.astype(dt), "edge", Hp, H)
-        xg = _pad_flat(g.astype(dt), "constant", Hp, H)
+        xd = d.reshape(C * D, H, W)                 # free bitcast — no pad
+        xu = u.astype(dt).reshape(3 * D, H, W)
+        xg = g.astype(dt).reshape(C * D, H, W)
         return pl.pallas_call(
             functools.partial(_split_bwd_kernel, C=C, TD=TD, H=H, W=W, D=D),
             grid=(D // TD,),
@@ -354,9 +393,9 @@ def split_warp_bwd_pallas(d: jnp.ndarray, u: jnp.ndarray, g: jnp.ndarray,
                 jax.ShapeDtypeStruct((3, D, H, W), dt),
             ],
             scratch_shapes=[
-                pltpu.VMEM(((2 * C + 3) * (TD + 2 * P), Hp, W), dt),
-                pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
-                pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
+                pltpu.VMEM(((2 * C + 3) * E, H, W), dt),
+                pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
+                pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(

@@ -512,12 +512,26 @@ warp_bounded.defvjp(_wb_fwd, _wb_bwd)
 
 
 def _block_means(disp_vox: jnp.ndarray, block: int, max_disp: float):
-    """Per-block rounded mean displacement ``(3, nbz, nby, nbx)`` (int32)."""
+    """Per-block rounded mean displacement ``(3, nbz, nby, nbx)`` (int32).
+
+    Layout note: the obvious 7-D ``reshape → reduce((2,4,6))`` splits the
+    TPU minor (sublane, lane) dims and costs a full relayout pass of the
+    field before the reduce (measured 2.3 ms per 128³ transition — ~5% of
+    a whole SGLD step).  Splitting only MAJOR axes is a free bitcast, so
+    z and y reduce as two cheap strided sums, and the lane axis reduces as
+    a one-hot block-sum matmul on the MXU (one (…, W) × (W, nbx) pass —
+    no lane relayout).  ~0.1 ms for the same result.
+    """
     D, H, W = disp_vox.shape[-3:]
     B = block
     nb = (D // B, H // B, W // B)
-    d_blocks = disp_vox.reshape(3, nb[0], B, nb[1], B, nb[2], B)
-    m = jnp.round(d_blocks.mean(axis=(2, 4, 6)))
+    lead = disp_vox.shape[:-3]
+    x = disp_vox.astype(jnp.float32)
+    x = x.reshape(lead + (nb[0], B, H, W)).sum(axis=-3)       # (…, nbz, H, W)
+    x = x.reshape(lead + (nb[0], nb[1], B, W)).sum(axis=-2)   # (…, nbz, nby, W)
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (W, nb[2]), 0) // B
+            == jax.lax.broadcasted_iota(jnp.int32, (W, nb[2]), 1))
+    m = jnp.round(jnp.matmul(x, cols.astype(jnp.float32)) / float(B ** 3))
     return jnp.clip(m, -max_disp, max_disp).astype(jnp.int32)
 
 

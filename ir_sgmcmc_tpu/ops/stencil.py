@@ -255,7 +255,7 @@ def _split_compose_impl(d: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return u + _split_warp_impl(d, jnp.clip(u, -1.0, 1.0))
 
 
-def _split_use_pallas(shape):
+def _split_use_pallas(shape, dtype=jnp.float32):
     """Pallas dispatch decision for the split step — honours the same
     trace-time override as the blend kernels (``resample.set_pallas_mode``:
     the trainer forces the XLA form while building GSPMD-partitioned
@@ -265,7 +265,7 @@ def _split_use_pallas(shape):
 
     if resample._PALLAS_OVERRIDE is False:
         return False
-    if not split_pallas_applicable(shape):
+    if not split_pallas_applicable(shape, dtype):
         return False
     if resample._PALLAS_OVERRIDE == "interpret":
         return "interpret"
@@ -273,7 +273,7 @@ def _split_use_pallas(shape):
 
 
 def _split_fwd_dispatch(d, u):
-    mode = _split_use_pallas(d.shape)
+    mode = _split_use_pallas(d.shape, d.dtype)
     if mode:
         from .pallas_split_warp import split_warp_pallas
 
@@ -313,7 +313,7 @@ def _split_compose_fwd(d, u):
 
 def _split_compose_bwd(res, g):
     d, u = res
-    mode = _split_use_pallas(d.shape)
+    mode = _split_use_pallas(d.shape, d.dtype)
     if mode:
         from .pallas_split_warp import split_warp_bwd_pallas
 
