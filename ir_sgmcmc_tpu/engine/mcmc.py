@@ -251,6 +251,7 @@ def make_sgld_transition(
             "reg_energy": jnp.exp(log_y).reshape(()),
             "ndv": out["ndv"],
             "sat": out["sat"],
+            "sat_resid": out["sat_resid"],
             "displacement": out["displacement"],
             "transformation": out["transformation"],
             "warped": out["warped"],
@@ -294,6 +295,7 @@ def make_sgld_transition(
             "reg_energy": aux["reg_energy"],
             "ndv": aux["ndv"],
             "sat": aux["sat"],
+            "sat_resid": aux["sat_resid"],
             "gmm_scales": GMM.scales(aux["gmm"]),
             "gmm_proportions": GMM.proportions(aux["gmm"]),
         }
@@ -340,6 +342,7 @@ def make_sgld_transition_shared(
                 "log_y": log_y_c.reshape(()),
                 "ndv": out["ndv"],
                 "sat": out["sat"],
+                "sat_resid": out["sat_resid"],
                 "displacement": out["displacement"],
             }
             return (gmm, opt_state, data_total + data_c), aux_c
@@ -399,6 +402,7 @@ def make_sgld_transition_shared(
             "reg_energy": aux["reg_energy"],
             "ndv": aux["ndv"],
             "sat": aux["sat"],
+            "sat_resid": aux["sat_resid"],
             "gmm_scales": jnp.broadcast_to(
                 GMM.scales(aux["gmm"]), (v_next.shape[0],) + GMM.scales(aux["gmm"]).shape
             ),

@@ -230,6 +230,11 @@ def forward_sample(bundle: ModelBundle, fixed: dict, moving: dict, v_unsmoothed,
         "residuals": residuals,
         "ndv": ndv,
         "sat": sat,
+        # breakdown for the trainer's guard message: the RESIDUAL-window
+        # component (anchored-residual clamp or block-gather in-block
+        # overflow) names a different recovery lever than the displacement
+        # clamp bound — raising ``max_disp`` does not move it
+        "sat_resid": anchor_sat,
     }
 
 
@@ -338,6 +343,7 @@ def make_vi_step(bundle: ModelBundle, opt_q_v, opt_gmm, opt_reg, fixed: dict, mo
             "reg_energy": jnp.exp(log_ys[0]).reshape(()),
             "ndv": outs["ndv"][0],
             "sat": outs["sat"][0],
+            "sat_resid": outs["sat_resid"][0],
         }
         return loss, (gmm, opt_gmm_state, metrics)
 

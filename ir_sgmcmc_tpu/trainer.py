@@ -301,7 +301,8 @@ class Trainer:
                                 f"VI/{k}", float(np.asarray(last[k])[i]))
                     self.writer.prefix = ""
                     self._check_saturation(
-                        int(np.asarray(last["sat"]).max()), done, "VI")
+                        int(np.asarray(last["sat"]).max()),
+                        int(np.asarray(last["sat_resid"]).max()), done, "VI")
                     self.logger.info(
                         "VI %d/%d loss %s ndv %s (per pair)",
                         done, self.no_iters_vi,
@@ -387,7 +388,8 @@ class Trainer:
                                 float(np.asarray(last[k])[i, c]))
                 self.writer.prefix = ""
                 self._check_saturation(
-                    int(np.asarray(last["sat"]).max()), done, "MCMC")
+                    int(np.asarray(last["sat"]).max()),
+                    int(np.asarray(last["sat_resid"]).max()), done, "MCMC")
                 worst = int(np.asarray(last["ndv"]).max())
                 if worst > self.ndv_tol * no_voxels:
                     raise NonDiffeomorphicAbort(
@@ -609,20 +611,53 @@ class Trainer:
         savers.submit(lambda: save_checkpoint(path, snap, meta))
         self._last_ckpt_t = time.perf_counter()
 
-    def _check_saturation(self, sat: int, step: int, phase: str) -> None:
+    def _check_saturation(self, sat: int, sat_resid: int, step: int,
+                          phase: str) -> None:
         """Displacement-saturation guard: warn on any clamped voxels, abort
-        above ``saturation_tolerance`` (same scale as the diffeo guard)."""
+        above ``saturation_tolerance`` (same scale as the diffeo guard).
+
+        The two counters name DIFFERENT recovery levers: ``sat - sat_resid``
+        voxels hit the integrator's displacement clamp bound (lever:
+        ``max_disp``); ``sat_resid`` voxels hit the configured warp's
+        residual window — the anchored-residual radius (lever:
+        ``anchor_radius``) or the block-gather warp's in-block radius
+        (lever: ``block_warp.radius``).  The latter bounds the field's
+        IN-BLOCK VARIATION, not its magnitude, so raising ``max_disp`` does
+        not move it (measured: the phantom-seed-2 128³ run clamped ~3k
+        voxels at max_disp=8 AND at 16 — BASELINE.md round 3)."""
         if sat <= 0:
             return
         no_voxels = float(np.prod(self.bundle.dims))
         max_disp = getattr(self.bundle.transformation, "max_disp", None)
+        bound_n = max(0, int(sat) - int(sat_resid))
+        causes = []
+        if bound_n > 0:
+            causes.append(
+                f"{bound_n} voxels clamp at the displacement bound "
+                f"(max_disp={max_disp}) — raise "
+                f"transformation_module.args.max_disp or set "
+                f"use_gather=true")
+        if sat_resid > 0:
+            if bool(self.t_cfg.get("mcmc_anchor", False)) and phase == "MCMC":
+                causes.append(
+                    f"{sat_resid} voxels clamp at the anchored-residual "
+                    f"radius ({int(self.t_cfg.get('anchor_radius', 2))}) — "
+                    f"raise trainer.anchor_radius or set mcmc_anchor=false")
+            else:
+                causes.append(
+                    f"{sat_resid} voxels exceed the block-gather warp's "
+                    f"in-block residual radius (trainer.block_warp."
+                    f"radius={self.bundle.block_radius}, "
+                    f"block={self.bundle.block_size}) — this bounds the "
+                    f"displacement's in-block VARIATION, so raising "
+                    f"max_disp does not help; raise "
+                    f"trainer.block_warp.radius (the Pallas kernel "
+                    f"supports <= 4), or set use_gather=true for the "
+                    f"exact gather path")
         msg = (
-            f"{phase} step {step}: displacement saturates a bounded-warp "
-            f"limit (max_disp={max_disp}, or the anchored-residual radius "
-            f"when mcmc_anchor is on) at {sat} voxels "
-            f"({sat / no_voxels:.2%}) — results are clamped there; raise "
-            f"transformation_module.args.max_disp / trainer.anchor_radius, "
-            f"or set use_gather=true / mcmc_anchor=false"
+            f"{phase} step {step}: displacement saturates a warp limit at "
+            f"{sat} voxels ({sat / no_voxels:.2%}) — results are clamped "
+            f"there: " + "; ".join(causes)
         )
         if sat > self.sat_tol * no_voxels:
             raise DisplacementSaturationAbort(msg)
@@ -738,7 +773,9 @@ class Trainer:
                 for k in ("data_term", "reg_term", "entropy_term", "total_loss",
                           "vd_alpha", "reg_energy", "ndv", "sat"):
                     self.tracker.update(k, float(np.asarray(last[k])))
-                self._check_saturation(int(np.asarray(last["sat"])), done, "VI")
+                self._check_saturation(
+                    int(np.asarray(last["sat"])),
+                    int(np.asarray(last["sat_resid"])), done, "VI")
                 for i, (s, p) in enumerate(zip(np.atleast_1d(last["gmm_scales"]),
                                                np.atleast_1d(last["gmm_proportions"]))):
                     self.writer.add_scalar(f"GMM/scale_{i}", float(s))
@@ -1066,7 +1103,8 @@ class Trainer:
                     self.writer.add_scalar(f"MCMC/{k}/chain_{c}",
                                            float(np.asarray(last[k])[c]))
             self._check_saturation(
-                int(np.asarray(last["sat"]).max()), done_at, "MCMC")
+                int(np.asarray(last["sat"]).max()),
+                int(np.asarray(last["sat_resid"]).max()), done_at, "MCMC")
 
             # diffeomorphism guard — abort as the reference does
             # (trainer.py:441-445) when any chain folds at > tol voxels

@@ -91,6 +91,13 @@ def main(argv=None):
                         "instead of anchored residual warping in the MCMC "
                         "loop")
     p.add_argument("--anchor-radius", type=int, default=None)
+    p.add_argument("--block-radius", type=int, default=None,
+                   help="'post' scheme block-gather warp: in-block residual "
+                        "radius (voxels; default 2, Pallas kernel supports "
+                        "<= 4).  This bounds the displacement's IN-BLOCK "
+                        "VARIATION — the recovery lever when the "
+                        "saturation guard reports block-residual overflow "
+                        "(raising max_disp does not move that counter)")
     p.add_argument("--anchor-mode", choices=["taylor", "blend"], default=None)
     p.add_argument("--anchor-period", type=int, default=None)
     p.add_argument("--max-device-chunk", type=int, default=None,
@@ -160,6 +167,8 @@ def main(argv=None):
         cfg["trainer"]["mcmc_anchor"] = False
     if args.anchor_radius is not None:
         cfg["trainer"]["anchor_radius"] = args.anchor_radius
+    if args.block_radius is not None:
+        cfg["trainer"].setdefault("block_warp", {})["radius"] = args.block_radius
     if args.anchor_mode is not None:
         cfg["trainer"]["anchor_mode"] = args.anchor_mode
     if args.anchor_period is not None:
@@ -202,6 +211,7 @@ def main(argv=None):
         "use_gather": args.use_gather,
         "taylor_compositions": args.taylor_compositions,
         "compute_dtype": args.compute_dtype,
+        "block_radius": args.block_radius,
         "gt_peak_disp_vox": round(float(gt_mag.max()), 3),
         "dsc_before": round(summary.get("dsc_before", float("nan")), 4),
         "dsc_vi": round(summary.get("vi_test_mean_dsc", float("nan")), 4),

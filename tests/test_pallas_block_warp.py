@@ -40,6 +40,9 @@ def _xla_fwd(vol, disp, bound, radius, block=8):
     ((16, 16, 128), 4, 2, None),
     ((16, 16, 128), 9, 2, 2),
     ((8, 8, 128), 6, 1, None),
+    # radius 3: the documented recovery lever for block-residual overflow
+    # on rough posterior samples (BASELINE.md round 3, phantom seed 2)
+    ((16, 16, 128), 9, 3, None),
 ])
 def test_block_warp_pallas_matches_xla(shape, bound, radius, chan):
     rng = np.random.default_rng(0)
@@ -57,9 +60,10 @@ def test_block_warp_pallas_matches_xla(shape, bound, radius, chan):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_block_warp_dgrad_matches_xla():
+@pytest.mark.parametrize("radius", [2, 3])
+def test_block_warp_dgrad_matches_xla(radius):
     shape = (16, 16, 128)
-    bound, radius = 6, 2
+    bound = 6
     rng = np.random.default_rng(1)
     vol = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     # keep positions off exact knots where subgradients legitimately differ

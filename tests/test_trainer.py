@@ -179,6 +179,36 @@ def test_mcmc_saturation_guard(tmp_path):
     assert "mcmc_mean_dsc" not in summary  # no quality report after an abort
 
 
+def test_saturation_guard_names_the_binding_lever(tmp_path):
+    """The guard message names the lever of the counter that tripped: the
+    displacement clamp bound (max_disp) vs the block-gather warp's in-block
+    residual radius (block_warp.radius) — raising max_disp does NOT move
+    the latter (measured: the phantom-seed-2 128³ run clamped ~3k voxels at
+    max_disp=8 AND at 16, BASELINE.md round 3)."""
+    import pytest
+
+    from ir_sgmcmc_tpu.trainer import DisplacementSaturationAbort
+
+    config = _demo_cfg(tmp_path)
+    trainer = Trainer(config)
+
+    # displacement-bound-only overflow -> max_disp lever, no radius talk
+    with pytest.raises(DisplacementSaturationAbort) as e:
+        trainer._check_saturation(sat=10_000, sat_resid=0, step=1,
+                                  phase="MCMC")
+    assert "max_disp" in str(e.value)
+    assert "block_warp.radius" not in str(e.value)
+
+    # block-residual overflow -> block_warp.radius lever, and the message
+    # must warn that max_disp is not the lever for this counter
+    with pytest.raises(DisplacementSaturationAbort) as e:
+        trainer._check_saturation(sat=10_000, sat_resid=10_000, step=1,
+                                  phase="MCMC")
+    msg = str(e.value)
+    assert "block_warp.radius" in msg and "in-block" in msg
+    assert "raising max_disp does not help" in msg
+
+
 def test_config_overrides(tmp_path):
     cfg_path = Path(__file__).parent.parent / "configs/demo/config_synthetic.json"
     config = Config.from_file(
