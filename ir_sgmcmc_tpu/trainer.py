@@ -22,6 +22,7 @@ metrics.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 
 import numpy as np
@@ -660,7 +661,13 @@ class Trainer:
             f"there: " + "; ".join(causes)
         )
         if sat > self.sat_tol * no_voxels:
-            raise DisplacementSaturationAbort(msg)
+            err = DisplacementSaturationAbort(msg)
+            # structured counters for the MCMC loop's auto-recovery (which
+            # escalates block_warp.radius only when the RESIDUAL counter is
+            # the one past tolerance — the message alone can't be parsed)
+            err.sat = int(sat)
+            err.sat_resid = int(sat_resid)
+            raise err
         self.logger.warning(msg)
 
     # ------------------------------------------------------------ VI phase
@@ -1170,23 +1177,73 @@ class Trainer:
         pending = None
         last_good = None  # snapshot of the newest period that PASSED the guards
         skip_posterior = False
+        # block-residual auto-recovery: the block-gather warp is exact only
+        # while each voxel's displacement stays within ``block_warp.radius``
+        # of its 8³-block mean — a bound on the field's in-block VARIATION.
+        # At equilibrium the SGLD posterior is rougher than the smooth VI
+        # mode it starts from, and at some registration tasks (2 of 4 GT
+        # draws in BASELINE.md round 3's across-phantom table) the sample
+        # roughness crosses radius 2 — measured PHYSICAL, not a clamp
+        # artifact: a near-exact radius-3 run's samples exceed radius 2 at
+        # ~1% of voxels (plateauing), while |r| > 3 stays at 0.01%.  So on
+        # a saturation abort whose binding counter is the residual one, bump
+        # the radius (kernel cap 4), rebuild the step functions and resume
+        # from the last clean snapshot — smooth tasks keep radius-2 speed,
+        # rough tasks complete at radius 3 (~10% slower) instead of dying.
+        # Escalation is not persisted in checkpoints: a resumed run restarts
+        # at the configured radius and re-escalates if still needed.
+        auto_escalate = bool(
+            self.t_cfg.get("block_warp", {}).get("auto_escalate", True))
         try:
-            while done < total:
-                this = min(log_period, total - done)
-                mcmc, ms = run_steps(mcmc, this)  # async dispatch
-                done += this
-                # device-side copy: the live state's buffers are DONATED to
-                # the next chunk, so the deferred checkpoint needs its own
-                snap = jax.tree.map(jnp.copy, mcmc)
-                nxt = (done, _last(ms), eval_fn(mcmc.v), snap)
-                if pending is not None:
-                    process(*pending)
-                    last_good = pending[3]
-                pending = nxt
-            if pending is not None:  # None when resuming a finished phase
-                process(*pending)
-                last_good = pending[3]
-                pending = None
+            while True:
+                try:
+                    while done < total:
+                        this = min(log_period, total - done)
+                        mcmc, ms = run_steps(mcmc, this)  # async dispatch
+                        done += this
+                        # device-side copy: the live state's buffers are
+                        # DONATED to the next chunk, so the deferred
+                        # checkpoint needs its own
+                        snap = jax.tree.map(jnp.copy, mcmc)
+                        nxt = (done, _last(ms), eval_fn(mcmc.v), snap)
+                        if pending is not None:
+                            process(*pending)
+                            last_good = pending[3]
+                        pending = nxt
+                    if pending is not None:  # None when resuming a finished phase
+                        process(*pending)
+                        last_good = pending[3]
+                        pending = None
+                    break
+                except DisplacementSaturationAbort as e:
+                    resid_binding = (getattr(e, "sat_resid", 0)
+                                     > self.sat_tol * no_voxels)
+                    can_escalate = (
+                        auto_escalate and resid_binding
+                        and last_good is not None
+                        and bundle.block_radius < 4
+                        and getattr(bundle, "noise_scheme", "pre") == "post"
+                        and bundle.block_warp
+                        and not getattr(bundle.transformation, "use_gather",
+                                        False)
+                        and not bool(self.t_cfg.get("mcmc_anchor", False)))
+                    if not can_escalate:
+                        raise
+                    new_r = bundle.block_radius + 1
+                    resume_step = int(np.asarray(last_good.step))
+                    self.logger.warning(
+                        "MCMC auto-recovery: %s — escalating trainer.block_"
+                        "warp.radius %d -> %d and resuming from the last "
+                        "clean period (step %d)",
+                        e, bundle.block_radius, new_r, resume_step)
+                    bundle = self.bundle = dataclasses.replace(
+                        bundle, block_radius=new_r)
+                    summary.setdefault("block_radius_escalations", []).append(
+                        {"step": resume_step, "radius": new_r})
+                    chunk_fns.clear()  # they close over the old radius
+                    mcmc = last_good
+                    done = resume_step
+                    pending = None
         except TrainerAbort as e:
             self.logger.error("MCMC aborted: %s", e)
             summary["mcmc_aborted"] = str(e)

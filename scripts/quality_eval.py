@@ -187,20 +187,27 @@ def main(argv=None):
     trainer = Trainer(config, dataset=ds)
     summary = trainer.run()[0]
 
-    mean = read_vtk_field(config.dir / "fields/MCMC_displacement_mean.vtk")
-    std = read_vtk_field(config.dir / "fields/MCMC_displacement_std_dev.vtk")
-
     mask = fixed["mask"]
-    err = mean - disp_gt  # (3, D, H, W) voxel units
-    err_mag = np.sqrt((err**2).sum(axis=0))[mask]
     gt_mag = np.sqrt((disp_gt**2).sum(axis=0))[mask]
-    std_mag = np.sqrt((std**2).sum(axis=0))[mask]
-
-    # calibration: does the posterior std-dev rank where the error is?
-    calib = float(np.corrcoef(std_mag, err_mag)[0, 1])
-    # per-channel pooled correlation
-    calib_ch = float(np.corrcoef(
-        np.abs(err)[:, mask].ravel(), std[:, mask].ravel())[0, 1])
+    mean_path = config.dir / "fields/MCMC_displacement_mean.vtk"
+    if mean_path.exists():
+        mean = read_vtk_field(mean_path)
+        std = read_vtk_field(config.dir / "fields/MCMC_displacement_std_dev.vtk")
+        err = mean - disp_gt  # (3, D, H, W) voxel units
+        err_mag = np.sqrt((err**2).sum(axis=0))[mask]
+        std_mag = np.sqrt((std**2).sum(axis=0))[mask]
+        # calibration: does the posterior std-dev rank where the error is?
+        calib = float(np.corrcoef(std_mag, err_mag)[0, 1])
+        # per-channel pooled correlation
+        calib_ch = float(np.corrcoef(
+            np.abs(err)[:, mask].ravel(), std[:, mask].ravel())[0, 1])
+    else:
+        # a guard abort before any post-burn-in sample leaves no posterior
+        # statistics (the rollback has nothing pre-violation to keep) —
+        # report the abort instead of crashing on the missing artifact
+        mean = None
+        err_mag = std_mag = np.full_like(gt_mag, np.nan)
+        calib = calib_ch = float("nan")
 
     report = {
         "dims": args.dims,
@@ -226,7 +233,7 @@ def main(argv=None):
         "aborted": summary.get("mcmc_aborted"),
         "run_dir": str(config.dir),
     }
-    if args.phantom == "brain":
+    if args.phantom == "brain" and mean is not None:
         # per-structure Dice/ASD of the posterior-mean registration —
         # the table the reference produces per Biobank run
         # (utils/util.py:123-206)
