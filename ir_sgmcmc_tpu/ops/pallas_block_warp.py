@@ -181,15 +181,20 @@ def _build_t2(scratch, mrow, *, C, R, BND, p8, W, passes: int = 3):
 
 def _bg_fwd_kernel(mprof_ref, r_ref, vol_hbm, out_ref, scratch, sem,
                    *, C, R, BND, p8, W, NBY):
-    i = pl.program_id(0)
+    # grid = (B, (D//8)·NBY): batching rides the leading grid axis (the
+    # same rewrite as the split kernels — the sequential_vmap loop cost a
+    # dynamic-slice/update round-trip of every operand per chain per call)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     bz = i // NBY
     by = i % NBY
     WR = 8 + 2 * p8
-    Dp = (pl.num_programs(0) // NBY) * 8 + 2 * p8
+    Dp = (pl.num_programs(1) // NBY) * 8 + 2 * p8
 
     dmas = [
         pltpu.make_async_copy(
-            vol_hbm.at[pl.ds(c * Dp + bz * 8, WR), pl.ds(by * 8, WR)],
+            vol_hbm.at[pl.ds((b * C + c) * Dp + bz * 8, WR),
+                       pl.ds(by * 8, WR)],
             scratch.at[pl.ds(c * WR, WR)], sem)
         for c in range(C)
     ]
@@ -198,10 +203,10 @@ def _bg_fwd_kernel(mprof_ref, r_ref, vol_hbm, out_ref, scratch, sem,
     for dma in dmas:
         dma.wait()
 
-    t2 = _build_t2(scratch, mprof_ref[0], C=C, R=R, BND=BND, p8=p8, W=W)
+    t2 = _build_t2(scratch, mprof_ref[0, 0], C=C, R=R, BND=BND, p8=p8, W=W)
 
     offsets = list(range(-R, R + 1))
-    rx, ry, rz = r_ref[0], r_ref[1], r_ref[2]  # (8, 8, W)
+    rx, ry, rz = r_ref[0, 0], r_ref[0, 1], r_ref[0, 2]  # (8, 8, W)
     wx = [_tri(rx - o) for o in offsets]
     wy = [_tri(ry - o) for o in offsets]
     wz = [_tri(rz - o) for o in offsets]
@@ -220,20 +225,22 @@ def _bg_fwd_kernel(mprof_ref, r_ref, vol_hbm, out_ref, scratch, sem,
                     term = wx[ix] * slab
                     inner = term if inner is None else inner + term
                 acc = acc + wzy * inner
-        out_ref[c] = acc
+        out_ref[0, c] = acc
 
 
 def _bg_dgrad_kernel(mprof_ref, r_ref, g_ref, vol_hbm, out_ref, scratch, sem,
                      *, C, R, BND, p8, W, NBY):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     bz = i // NBY
     by = i % NBY
     WR = 8 + 2 * p8
-    Dp = (pl.num_programs(0) // NBY) * 8 + 2 * p8
+    Dp = (pl.num_programs(1) // NBY) * 8 + 2 * p8
 
     dmas = [
         pltpu.make_async_copy(
-            vol_hbm.at[pl.ds(c * Dp + bz * 8, WR), pl.ds(by * 8, WR)],
+            vol_hbm.at[pl.ds((b * C + c) * Dp + bz * 8, WR),
+                       pl.ds(by * 8, WR)],
             scratch.at[pl.ds(c * WR, WR)], sem)
         for c in range(C)
     ]
@@ -242,18 +249,18 @@ def _bg_dgrad_kernel(mprof_ref, r_ref, g_ref, vol_hbm, out_ref, scratch, sem,
     for dma in dmas:
         dma.wait()
 
-    t2 = _build_t2(scratch, mprof_ref[0], C=C, R=R, BND=BND, p8=p8, W=W,
+    t2 = _build_t2(scratch, mprof_ref[0, 0], C=C, R=R, BND=BND, p8=p8, W=W,
                    passes=2)
 
     offsets = list(range(-R, R + 1))
-    rx, ry, rz = r_ref[0], r_ref[1], r_ref[2]
+    rx, ry, rz = r_ref[0, 0], r_ref[0, 1], r_ref[0, 2]
     wx = [_tri(rx - o) for o in offsets]
     dwx = [_dtri(rx - o) for o in offsets]
     wy = [_tri(ry - o) for o in offsets]
     dwy = [_dtri(ry - o) for o in offsets]
     wz = [_tri(rz - o) for o in offsets]
     dwz = [_dtri(rz - o) for o in offsets]
-    gs = [g_ref[c] for c in range(C)]
+    gs = [g_ref[0, c] for c in range(C)]
 
     acc_x = jnp.zeros((8, 8, W), jnp.float32)
     acc_y = jnp.zeros((8, 8, W), jnp.float32)
@@ -283,60 +290,124 @@ def _bg_dgrad_kernel(mprof_ref, r_ref, g_ref, vol_hbm, out_ref, scratch, sem,
             acc_x = acc_x + (wz[iz] * wy[iy]) * a_sum
             acc_y = acc_y + (wz[iz] * dwy[iy]) * b_sum
             acc_z = acc_z + (dwz[iz] * wy[iy]) * b_sum
-    out_ref[0] = acc_x
-    out_ref[1] = acc_y
-    out_ref[2] = acc_z
+    out_ref[0, 0] = acc_x
+    out_ref[0, 1] = acc_y
+    out_ref[0, 2] = acc_z
 
 
-def _prep_operands(vol4, m, bound, radius):
-    """Padded flat volume + per-lane block-mean profile (shared fwd/bwd)."""
-    C, D, H, W = vol4.shape
+def _prep_operands(vol5, m5, bound, radius):
+    """Padded flat volume + per-lane block-mean profile (shared fwd/bwd).
+
+    Batched: ``vol5 (B, C, D, H, W)``, ``m5 (B, 3, nbz, nby, nbx)`` →
+    flat ``(B·C·Dp, Hp, W)`` and profile ``(B, nbz·nby, 8, W)``."""
+    B, C, D, H, W = vol5.shape
     p8 = _halo(bound, radius)
-    padded = jnp.pad(vol4, [(0, 0), (p8, p8), (p8, p8), (0, 0)], mode="edge")
-    flat = padded.reshape(C * (D + 2 * p8), H + 2 * p8, W)
-    # m: (3, nbz, nby, nbx) → per-(bz,by) lane profile rows [mx, my, mz]
-    nbz, nby = m.shape[1], m.shape[2]
-    prof = jnp.repeat(m, 8, axis=3)                    # (3, nbz, nby, W)
-    prof = prof.transpose(1, 2, 0, 3)                  # (nbz, nby, 3, W)
-    prof = jnp.pad(prof, [(0, 0), (0, 0), (0, 5), (0, 0)])
-    return flat, prof.reshape(nbz * nby, 8, W), p8
+    padded = jnp.pad(vol5, [(0, 0), (0, 0), (p8, p8), (p8, p8), (0, 0)],
+                     mode="edge")
+    flat = padded.reshape(B * C * (D + 2 * p8), H + 2 * p8, W)
+    # m: (B, 3, nbz, nby, nbx) → per-(bz,by) lane profile rows [mx, my, mz]
+    nbz, nby = m5.shape[2], m5.shape[3]
+    prof = jnp.repeat(m5, 8, axis=4)                   # (B, 3, nbz, nby, W)
+    prof = prof.transpose(0, 2, 3, 1, 4)               # (B, nbz, nby, 3, W)
+    prof = jnp.pad(prof, [(0, 0), (0, 0), (0, 0), (0, 5), (0, 0)])
+    return flat, prof.reshape(B, nbz * nby, 8, W), p8
+
+
+def _bg_fwd_batched(vol5, r5, m5, bound: int, radius: int, interpret: bool):
+    """Batched forward kernel call — the batch rides the leading grid axis
+    (per-program VMEM unchanged; no XLA-level per-chain slicing)."""
+    B, C, D, H, W = vol5.shape
+    nby = H // 8
+    flat, mprof, p8 = _prep_operands(vol5, m5, bound, radius)
+    WR = 8 + 2 * p8
+    return pl.pallas_call(
+        functools.partial(_bg_fwd_kernel, C=C, R=int(radius),
+                          BND=int(bound), p8=p8, W=W, NBY=nby),
+        grid=(B, (D // 8) * nby),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, W), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 8, 8, W),
+                         lambda b, i, _nby=nby: (b, 0, i // _nby,
+                                                 i % _nby, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, 8, 8, W),
+            lambda b, i, _nby=nby: (b, 0, i // _nby, i % _nby, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, D, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C * WR, WR, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(mprof, r5, flat)
+
+
+def _bg_dgrad_batched(vol5, r5, m5, g5, bound: int, radius: int,
+                      interpret: bool):
+    """Batched residual-gradient kernel call (see :func:`_bg_fwd_batched`)."""
+    B, C, D, H, W = vol5.shape
+    nby = H // 8
+    flat, mprof, p8 = _prep_operands(vol5, m5, bound, radius)
+    WR = 8 + 2 * p8
+    return pl.pallas_call(
+        functools.partial(_bg_dgrad_kernel, C=C, R=int(radius),
+                          BND=int(bound), p8=p8, W=W, NBY=nby),
+        grid=(B, (D // 8) * nby),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, W), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 8, 8, W),
+                         lambda b, i, _nby=nby: (b, 0, i // _nby,
+                                                 i % _nby, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 8, 8, W),
+                         lambda b, i, _nby=nby: (b, 0, i // _nby,
+                                                 i % _nby, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, 8, 8, W),
+            lambda b, i, _nby=nby: (b, 0, i // _nby, i % _nby, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, D, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C * WR, WR, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(mprof, r5, g5, flat)
 
 
 @functools.partial(jax.jit, static_argnames=("bound", "radius", "interpret"))
 def block_warp_pallas(vol4, r_clip, m, bound: int, radius: int,
                       interpret: bool = False):
     """Forward block-gather warp: ``vol4 (C, D, H, W)``, clipped residual
-    ``r_clip (3, D, H, W)``, block means ``m (3, nbz, nby, nbx)`` int32."""
-    @jax.custom_batching.sequential_vmap
+    ``r_clip (3, D, H, W)``, block means ``m (3, nbz, nby, nbx)`` int32.
+
+    ``vmap`` folds the mapped axis into the kernel grid — one pallas_call
+    for all chains (the sequential loop cost a dynamic-slice/update
+    round-trip of every operand per chain per call)."""
+    @jax.custom_batching.custom_vmap
     def call(vol4, r_clip, m):
-        C, D, H, W = vol4.shape
-        nby = H // 8
-        flat, mprof, p8 = _prep_operands(vol4, m, bound, radius)
-        WR = 8 + 2 * p8
-        return pl.pallas_call(
-            functools.partial(_bg_fwd_kernel, C=C, R=int(radius),
-                              BND=int(bound), p8=p8, W=W, NBY=nby),
-            grid=((D // 8) * nby,),
-            in_specs=[
-                pl.BlockSpec((1, 8, W), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, 8, 8, W),
-                             lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (C, 8, 8, W), lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((C, D, H, W), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((C * WR, WR, W), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(mprof, r_clip, flat)
+        return _bg_fwd_batched(vol4[None], r_clip[None], m[None],
+                               bound, radius, interpret)[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, vol4, r_clip, m):
+        ops = []
+        for x, bt in zip((vol4, r_clip, m), in_batched):
+            ops.append(x if bt else
+                       jnp.broadcast_to(x[None], (axis_size,) + x.shape))
+        return _bg_fwd_batched(*ops, bound, radius, interpret), True
 
     return call(vol4, r_clip, m)
 
@@ -345,39 +416,19 @@ def block_warp_pallas(vol4, r_clip, m, bound: int, radius: int,
 def block_warp_dgrad_pallas(vol4, r_clip, m, g, bound: int, radius: int,
                             interpret: bool = False):
     """Residual-gradient pass: returns dU/dr (3, D, H, W) given cotangent
-    ``g (C, D, H, W)``; out-of-radius masking is applied by the caller."""
-    @jax.custom_batching.sequential_vmap
+    ``g (C, D, H, W)``; out-of-radius masking is applied by the caller.
+    ``vmap`` folds into the kernel grid like the forward."""
+    @jax.custom_batching.custom_vmap
     def call(vol4, r_clip, m, g):
-        C, D, H, W = vol4.shape
-        nby = H // 8
-        flat, mprof, p8 = _prep_operands(vol4, m, bound, radius)
-        WR = 8 + 2 * p8
-        return pl.pallas_call(
-            functools.partial(_bg_dgrad_kernel, C=C, R=int(radius),
-                              BND=int(bound), p8=p8, W=W, NBY=nby),
-            grid=((D // 8) * nby,),
-            in_specs=[
-                pl.BlockSpec((1, 8, W), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, 8, 8, W),
-                             lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((C, 8, 8, W),
-                             lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (3, 8, 8, W), lambda i, _nby=nby: (0, i // _nby, i % _nby, 0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, D, H, W), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((C * WR, WR, W), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(mprof, r_clip, g, flat)
+        return _bg_dgrad_batched(vol4[None], r_clip[None], m[None], g[None],
+                                 bound, radius, interpret)[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, vol4, r_clip, m, g):
+        ops = []
+        for x, bt in zip((vol4, r_clip, m, g), in_batched):
+            ops.append(x if bt else
+                       jnp.broadcast_to(x[None], (axis_size,) + x.shape))
+        return _bg_dgrad_batched(*ops, bound, radius, interpret), True
 
     return call(vol4, r_clip, m, g)

@@ -104,12 +104,19 @@ def _window_geometry(i, TD: int, D: int):
 def _split_fwd_kernel(xd_hbm, xu_hbm, out_ref, window, bwin, sem,
                       *, C: int, TD: int, H: int, W: int, D: int,
                       add_u: bool):
-    i = pl.program_id(0)
+    # grid = (B, D // TD): program_id(0) selects the batch element (chain),
+    # program_id(1) the z-block.  Batching rides the grid instead of an
+    # XLA-level loop — vmapping the old single-batch kernel cost a
+    # dynamic-slice + dynamic-update-slice round-trip of every operand per
+    # chain per call (~40% of the composition phase at 128³/2 chains,
+    # the ``while.317-333`` rows of BASELINE.md's round-3 trace).
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     WR = TD + 2 * P
     E, _, start, delta = _window_geometry(i, TD, D)
 
-    _load_windows_refs([(xd_hbm, C, D), (xu_hbm, 3, D)], window, sem,
-                       start=start, E=E)
+    _load_windows_refs([(xd_hbm, b * C, C, D), (xu_hbm, b * 3, 3, D)],
+                       window, sem, start=start, E=E)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     rowv = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
 
@@ -145,7 +152,7 @@ def _split_fwd_kernel(xd_hbm, xu_hbm, out_ref, window, bwin, sem,
             o = b0 + uzp * (bp - b0) - uzn * (bm - b0)
             if add_u:
                 o = o + wplane(C + c, s)
-            out_ref[c, z] = o.astype(out_ref.dtype)
+            out_ref[0, c, z] = o.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, TD, zrow, 0)
@@ -165,11 +172,13 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
     x-fold.  ``ū`` masks the clip: offsets with ``|u| ≥ 1`` are saturated
     and get zero gradient (matching ``jnp.clip``'s interior convention).
     """
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     WR = TD + 2 * P
     E, z0, start, delta = _window_geometry(i, TD, D)
 
-    _load_windows_refs([(xd_hbm, C, D), (xu_hbm, 3, D), (xg_hbm, C, D)],
+    _load_windows_refs([(xd_hbm, b * C, C, D), (xu_hbm, b * 3, 3, D),
+                        (xg_hbm, b * C, C, D)],
                        window, sem, start=start, E=E)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -255,7 +264,7 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
                   - _rollx_zero(uxn * t2, -1, W, col))
             gd = gd + jnp.where(col == 0, -uxn * t2, 0.0)
             gd = gd + jnp.where(col == W - 1, uxp * t2, 0.0)
-            gd_ref[c, z] = gd.astype(gd_ref.dtype)
+            gd_ref[0, c, z] = gd.astype(gd_ref.dtype)
 
             # offset gradients: ⟨stage cotangent, ∂L/∂u⟩ per axis
             d = dplane(c, s)
@@ -274,13 +283,13 @@ def _split_bwd_kernel(xd_hbm, xu_hbm, xg_hbm, gd_ref, gu_ref, window, awin,
             ddz = jnp.where(uz >= 0.0, bp - b0, b0 - bm)
             guz = guz + g0 * ddz
 
-        gu_ref[0, z] = (
+        gu_ref[0, 0, z] = (
             gux * (jnp.abs(u_raw[0]) < 1.0).astype(jnp.float32)
         ).astype(gu_ref.dtype)
-        gu_ref[1, z] = (
+        gu_ref[0, 1, z] = (
             guy * (jnp.abs(u_raw[1]) < 1.0).astype(jnp.float32)
         ).astype(gu_ref.dtype)
-        gu_ref[2, z] = (
+        gu_ref[0, 2, z] = (
             guz * (jnp.abs(u_raw[2]) < 1.0).astype(jnp.float32)
         ).astype(gu_ref.dtype)
         return 0
@@ -305,17 +314,20 @@ def split_pallas_applicable(shape, dtype=jnp.float32) -> bool:
 
 
 def _load_windows_refs(srcs, window, sem, *, start, E):
-    """Per-channel z-window DMAs from MULTIPLE flat ``(C·D, H, W)`` sources
-    into one scratch; destination channel-blocks follow the sources in
-    order.  All copies start before any wait (they share one semaphore).
-    ``start``/``E`` place the clamped in-bounds window
-    (:func:`_window_geometry`) — operands carry NO padding."""
+    """Per-channel z-window DMAs from MULTIPLE flat ``(B·C·D, H, W)``
+    sources into one scratch; destination channel-blocks follow the
+    sources in order.  Each source entry ``(ref, chan_base, n_chan, D)``
+    reads channels ``chan_base .. chan_base + n_chan`` (the batch
+    element's slice of the flattened channel axis).  All copies start
+    before any wait (they share one semaphore).  ``start``/``E`` place
+    the clamped in-bounds window (:func:`_window_geometry`) — operands
+    carry NO padding."""
     dmas = []
     dst = 0
-    for ref, n_chan, D in srcs:
+    for ref, chan_base, n_chan, D in srcs:
         for c in range(n_chan):
             dmas.append(pltpu.make_async_copy(
-                ref.at[pl.ds(c * D + start, E)],
+                ref.at[pl.ds((chan_base + c) * D + start, E)],
                 window.at[pl.ds(dst * E, E)], sem))
             dst += 1
     for dma in dmas:
@@ -324,40 +336,100 @@ def _load_windows_refs(srcs, window, sem, *, start, E):
         dma.wait()
 
 
+def _split_fwd_batched(d5, u5, add_u: bool, interpret: bool):
+    """Batched forward kernel call: ``d5 (B, C, D, H, W)``,
+    ``u5 (B, 3, D, H, W)``.  The batch rides the leading grid axis —
+    per-program VMEM (one element's windows) is unchanged, and no
+    XLA-level slicing per batch element exists at all."""
+    B, C = d5.shape[0], d5.shape[1]
+    D, H, W = d5.shape[-3:]
+    TD = 8
+    E = min(TD + 2 * P, D)
+    dt = d5.dtype  # window + outputs ride the input dtype (f32 or bf16)
+    xd = d5.reshape(B * C * D, H, W)               # free bitcast — no pad
+    xu = u5.astype(dt).reshape(B * 3 * D, H, W)
+    return pl.pallas_call(
+        functools.partial(_split_fwd_kernel, C=C, TD=TD, H=H, W=W, D=D,
+                          add_u=add_u),
+        grid=(B, D // TD),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, C, TD, H, W),
+                               lambda b, i: (b, 0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, D, H, W), dt),
+        scratch_shapes=[
+            pltpu.VMEM(((C + 3) * E, H, W), dt),
+            pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xd, xu)
+
+
 @functools.partial(jax.jit, static_argnames=("add_u", "interpret"))
 def split_warp_pallas(d: jnp.ndarray, u: jnp.ndarray,
                       add_u: bool = True, interpret: bool = False):
     """Forward split warp: ``L_z(L_y(L_x(d; ux); uy); uz)`` (+``u`` when
-    ``add_u`` — the composition form).  ``d (C, D, H, W)``, ``u (3, D, H, W)``."""
-    @jax.custom_batching.sequential_vmap
+    ``add_u`` — the composition form).  ``d (C, D, H, W)``, ``u (3, D, H, W)``.
+
+    ``vmap`` folds the mapped axis into the kernel grid (one call for all
+    chains) instead of looping — the sequential_vmap loop cost a full
+    dynamic-slice/update round-trip of every operand per chain per call."""
+    @jax.custom_batching.custom_vmap
     def call(d, u):
-        C = d.shape[0]
-        D, H, W = d.shape[-3:]
-        TD = 8
-        E = min(TD + 2 * P, D)
-        dt = d.dtype  # window + outputs ride the input dtype (f32 or bf16)
-        xd = d.reshape(C * D, H, W)                 # free bitcast — no pad
-        xu = u.astype(dt).reshape(3 * D, H, W)
-        return pl.pallas_call(
-            functools.partial(_split_fwd_kernel, C=C, TD=TD, H=H, W=W, D=D,
-                              add_u=add_u),
-            grid=(D // TD,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((C, D, H, W), dt),
-            scratch_shapes=[
-                pltpu.VMEM(((C + 3) * E, H, W), dt),
-                pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(xd, xu)
+        return _split_fwd_batched(d[None], u[None], add_u, interpret)[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, d, u):
+        d_b, u_b = in_batched
+        if not d_b:
+            d = jnp.broadcast_to(d[None], (axis_size,) + d.shape)
+        if not u_b:
+            u = jnp.broadcast_to(u[None], (axis_size,) + u.shape)
+        return _split_fwd_batched(d, u, add_u, interpret), True
 
     return call(d, u)
+
+
+def _split_bwd_batched(d5, u5, g5, interpret: bool):
+    """Batched backward kernel call (see :func:`_split_fwd_batched`)."""
+    B, C = d5.shape[0], d5.shape[1]
+    D, H, W = d5.shape[-3:]
+    TD = 8
+    E = min(TD + 2 * P, D)
+    dt = d5.dtype
+    xd = d5.reshape(B * C * D, H, W)               # free bitcast — no pad
+    xu = u5.astype(dt).reshape(B * 3 * D, H, W)
+    xg = g5.astype(dt).reshape(B * C * D, H, W)
+    return pl.pallas_call(
+        functools.partial(_split_bwd_kernel, C=C, TD=TD, H=H, W=W, D=D),
+        grid=(B, D // TD),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, C, TD, H, W), lambda b, i: (b, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TD, H, W), lambda b, i: (b, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, D, H, W), dt),
+            jax.ShapeDtypeStruct((B, 3, D, H, W), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(((2 * C + 3) * E, H, W), dt),
+            pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
+            pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xd, xu, xg)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -365,42 +437,19 @@ def split_warp_bwd_pallas(d: jnp.ndarray, u: jnp.ndarray, g: jnp.ndarray,
                           interpret: bool = False):
     """Backward split warp: returns ``(ḡ_d, ū_warp)`` — the gradients of
     the warp part only (the compose wrapper adds ``g`` to ``ū`` for the
-    direct ``+u`` term)."""
-    @jax.custom_batching.sequential_vmap
+    direct ``+u`` term).  ``vmap`` folds into the kernel grid like the
+    forward."""
+    @jax.custom_batching.custom_vmap
     def call(d, u, g):
-        C = d.shape[0]
-        D, H, W = d.shape[-3:]
-        TD = 8
-        E = min(TD + 2 * P, D)
-        dt = d.dtype
-        xd = d.reshape(C * D, H, W)                 # free bitcast — no pad
-        xu = u.astype(dt).reshape(3 * D, H, W)
-        xg = g.astype(dt).reshape(C * D, H, W)
-        return pl.pallas_call(
-            functools.partial(_split_bwd_kernel, C=C, TD=TD, H=H, W=W, D=D),
-            grid=(D // TD,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=[
-                pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, TD, H, W), lambda i: (0, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((C, D, H, W), dt),
-                jax.ShapeDtypeStruct((3, D, H, W), dt),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM(((2 * C + 3) * E, H, W), dt),
-                pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
-                pltpu.VMEM((C * (TD + 2 * P), H, W), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(xd, xu, xg)
+        gd, gu = _split_bwd_batched(d[None], u[None], g[None], interpret)
+        return gd[0], gu[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, d, u, g):
+        ops = []
+        for x, b in zip((d, u, g), in_batched):
+            ops.append(x if b else
+                       jnp.broadcast_to(x[None], (axis_size,) + x.shape))
+        return _split_bwd_batched(*ops, interpret), (True, True)
 
     return call(d, u, g)

@@ -124,3 +124,40 @@ def test_block_warp_dispatch_interpret_end_to_end():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                atol=5e-4, rtol=1e-4)
+
+
+def test_block_warp_vmap_matches_per_example():
+    """vmap folds the batch into the kernel grid (one pallas_call for all
+    chains — the engine's chain-vmap hot path) and must equal per-example
+    calls, forward and dgrad."""
+    shape = (8, 8, 128)
+    bound, radius = 4, 2
+    rng = np.random.default_rng(17)
+    vols, rs, ms, gs = [], [], [], []
+    for b in range(2):
+        vol = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        disp = _smooth_disp(shape, magnitude=3.0, seed=20 + b) + 0.2
+        _, v4, m, r_raw = resample._wbg_prep_pallas(vol, disp, bound,
+                                                    radius, 8)
+        vols.append(v4)
+        rs.append(jnp.clip(r_raw, -radius, radius))
+        ms.append(m)
+        gs.append(jnp.asarray(
+            rng.standard_normal((1,) + shape).astype(np.float32)))
+    v5, r5, m5, g5 = (jnp.stack(x) for x in (vols, rs, ms, gs))
+
+    out = jax.vmap(lambda v, r, m: block_warp_pallas(
+        v, r, m, bound, radius, interpret=True))(v5, r5, m5)
+    for b in range(2):
+        ref = block_warp_pallas(v5[b], r5[b], m5[b], bound, radius,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    gr = jax.vmap(lambda v, r, m, g: block_warp_dgrad_pallas(
+        v, r, m, g, bound, radius, interpret=True))(v5, r5, m5, g5)
+    for b in range(2):
+        ref = block_warp_dgrad_pallas(v5[b], r5[b], m5[b], g5[b],
+                                      bound, radius, interpret=True)
+        np.testing.assert_allclose(np.asarray(gr[b]), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-4)

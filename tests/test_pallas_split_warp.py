@@ -134,3 +134,39 @@ def test_split_bf16_matches_f32():
     interior = np.abs(np.asarray(u32)) != 1.0
     np.testing.assert_allclose(np.asarray(gu)[interior],
                                np.asarray(gu_ref)[interior], atol=1e-1)
+
+
+def test_split_vmap_matches_per_example():
+    """vmap folds the batch into the kernel grid (one pallas_call for all
+    chains — the engine's chain-vmap hot path) and must equal per-example
+    calls; an unbatched ``u`` operand broadcasts into the rule."""
+    shape = (8, 8, 128)
+    rng = np.random.default_rng(13)
+    d = jnp.stack([_rand(rng, (3,) + shape, 2.0) for _ in range(2)])
+    u = jnp.stack([_rand(rng, (3,) + shape, 0.9) for _ in range(2)])
+    g = jnp.stack([_rand(rng, (3,) + shape) for _ in range(2)])
+
+    out = jax.vmap(lambda dd, uu: split_warp_pallas(
+        dd, uu, add_u=True, interpret=True))(d, u)
+    for b in range(2):
+        ref = split_warp_pallas(d[b], u[b], add_u=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref),
+                                   atol=2e-5)
+
+    gd, gu = jax.vmap(lambda dd, uu, gg: split_warp_bwd_pallas(
+        dd, uu, gg, interpret=True))(d, u, g)
+    for b in range(2):
+        gd_ref, gu_ref = split_warp_bwd_pallas(d[b], u[b], g[b],
+                                               interpret=True)
+        np.testing.assert_allclose(np.asarray(gd[b]), np.asarray(gd_ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gu[b]), np.asarray(gu_ref),
+                                   atol=2e-5)
+
+    # unbatched u: the rule broadcasts it across the mapped axis
+    out_shared = jax.vmap(lambda dd: split_warp_pallas(
+        dd, u[0], add_u=True, interpret=True))(d)
+    for b in range(2):
+        ref = split_warp_pallas(d[b], u[0], add_u=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_shared[b]),
+                                   np.asarray(ref), atol=2e-5)
