@@ -76,21 +76,25 @@ def _load_windows(src_hbm, window, sem, *, C, rows_src, rows_win, src0, win_rows
 
 def _warp_kernel(vol_hbm, disp_ref, out_ref, window, sem,
                  *, R: int, C: int, TD: int, H: int, W: int):
+    # grid = (B, D // TD): batching rides the leading grid axis (the same
+    # rewrite as the split/block-gather kernels — the sequential_vmap loop
+    # cost a dynamic-slice/update round-trip of every operand per chain)
     P = R
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     offsets = list(range(-R, R + 1))
     WR = TD + 2 * P  # window rows per channel
-    Dp = pl.num_programs(0) * TD + 2 * P
+    Dp = pl.num_programs(1) * TD + 2 * P
 
     _load_windows(vol_hbm, window, sem, C=C, rows_src=Dp, rows_win=WR,
-                  src0=lambda c: c * Dp + i * TD, win_rows=WR)
+                  src0=lambda c: (b * C + c) * Dp + i * TD, win_rows=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     Hp = window.shape[1]
 
     # one output z-slice at a time: all blend temporaries are (H, W) plane
     # registers (full-tile temps blew the 16 MB VMEM stack at 128³)
     def zbody(z, _):
-        d = jnp.clip(disp_ref[:, z], -R, R)  # (3, H, W)
+        d = jnp.clip(disp_ref[0, :, z], -R, R)  # (3, H, W)
         dx, dy, dz = d[0], d[1], d[2]
         wx = [_tri(dx - ox) for ox in offsets]
         wy = [_tri(dy - oy) for oy in offsets]
@@ -127,7 +131,7 @@ def _warp_kernel(vol_hbm, disp_ref, out_ref, window, sem,
             accs = jax.lax.fori_loop(0, len(offsets), body, accs)
 
         for c in range(C):
-            out_ref[c, z] = accs[c]
+            out_ref[0, c, z] = accs[c]
         return 0
 
     jax.lax.fori_loop(0, TD, zbody, 0)
@@ -145,20 +149,21 @@ def _dgrad_kernel(vol_hbm, disp_ref, g_ref, out_ref, window, sem,
     are computed once instead of per channel.
     """
     P = R
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     offsets = list(range(-R, R + 1))
     WR = TD + 2 * P
-    Dp = pl.num_programs(0) * TD + 2 * P
+    Dp = pl.num_programs(1) * TD + 2 * P
 
     _load_windows(vol_hbm, window, sem, C=C, rows_src=Dp, rows_win=WR,
-                  src0=lambda c: c * Dp + i * TD, win_rows=WR)
+                  src0=lambda c: (b * C + c) * Dp + i * TD, win_rows=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     Hp = window.shape[1]
 
     def zbody(z, _):
-        d = jnp.clip(disp_ref[:, z], -R, R)  # (3, H, W)
+        d = jnp.clip(disp_ref[0, :, z], -R, R)  # (3, H, W)
         dx, dy, dz = d[0], d[1], d[2]
-        gs = [g_ref[c, z] for c in range(C)]
+        gs = [g_ref[0, c, z] for c in range(C)]
         wx = [_tri(dx - ox) for ox in offsets]
         dwx = [_dtri(dx - ox) for ox in offsets]
         wy = [_tri(dy - oy) for oy in offsets]
@@ -196,7 +201,7 @@ def _dgrad_kernel(vol_hbm, disp_ref, g_ref, out_ref, window, sem,
             carry = jax.lax.fori_loop(0, len(offsets), body, carry)
 
         for axis in range(3):
-            out_ref[axis, z] = carry[axis]
+            out_ref[0, axis, z] = carry[axis]
         return 0
 
     jax.lax.fori_loop(0, TD, zbody, 0)
@@ -208,43 +213,59 @@ def warp_bounded_dgrad_pallas(vol, disp_vox, g, radius: int,
     """Pallas displacement-gradient pass: returns dU/d(disp) given cotangent
     ``g`` (saturation masking of the clip is applied by the caller).
     ``z_halo=True``: ``vol`` already carries ``R`` halo rows per side in z
-    (spatially-sharded call sites, parallel/halo.py)."""
-    @jax.custom_batching.sequential_vmap
+    (spatially-sharded call sites, parallel/halo.py).  ``vmap`` folds the
+    mapped axis into the kernel grid (one call for all chains)."""
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[None]
+        g = g[None]
+
+    @jax.custom_batching.custom_vmap
     def call(vol, disp_vox, g):
-        return _dgrad_pallas(vol, disp_vox, g, radius, interpret, z_halo)
+        return _dgrad_batched(vol[None], disp_vox[None], g[None],
+                              radius, interpret, z_halo)[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, vol, disp_vox, g):
+        ops = []
+        for x, bt in zip((vol, disp_vox, g), in_batched):
+            ops.append(x if bt else
+                       jnp.broadcast_to(x[None], (axis_size,) + x.shape))
+        return _dgrad_batched(*ops, radius, interpret, z_halo), True
 
     return call(vol, disp_vox, g)
 
 
-def _dgrad_pallas(vol, disp_vox, g, radius, interpret, z_halo=False):
+def _dgrad_batched(vol5, disp5, g5, radius, interpret, z_halo=False):
+    """Batched dgrad kernel call: ``vol5 (B, C, Dz, H, W)``,
+    ``disp5 (B, 3, D, H, W)``, ``g5 (B, C, D, H, W)``.  The batch rides
+    the leading grid axis — per-program VMEM is one element's windows."""
     R = int(radius)
     P = R
-    if vol.ndim == 3:
-        vol = vol[None]
-        g = g[None]
-    C = vol.shape[0]
-    D, H, W = disp_vox.shape[-3:]
+    B, C = vol5.shape[0], vol5.shape[1]
+    D, H, W = disp5.shape[-3:]
     TD = 8 if D % 8 == 0 else D
 
     Hp = H + 2 * P + (-(H + 2 * P)) % 8
     Dp = D + 2 * P
     zpad = (0, 0) if z_halo else (P, P)
-    padded = jnp.pad(vol, [(0, 0), zpad, (P, Hp - H - P), (0, 0)], mode="edge")
-    padded = padded.reshape(C * Dp, Hp, W)
+    padded = jnp.pad(vol5, [(0, 0), (0, 0), zpad, (P, Hp - H - P), (0, 0)],
+                     mode="edge")
+    padded = padded.reshape(B * C * Dp, Hp, W)
 
     return pl.pallas_call(
         functools.partial(_dgrad_kernel, R=R, C=C, TD=TD, H=H, W=W),
-        grid=(D // TD,),
+        grid=(B, D // TD),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3, TD, H, W), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((1, 3, TD, H, W), lambda b, i: (b, 0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((1, C, TD, H, W), lambda b, i: (b, 0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, TD, H, W), lambda i: (0, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 3, TD, H, W), lambda b, i: (b, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, D, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 3, D, H, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -252,7 +273,7 @@ def _dgrad_pallas(vol, disp_vox, g, radius, interpret, z_halo=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(padded, disp_vox, g)
+    )(padded, disp5, g5)
 
 
 def _rollx_zero(a: jnp.ndarray, ox: int, W: int, col: jnp.ndarray):
@@ -282,13 +303,14 @@ def _tblend_kernel(x_hbm, out_ref, window, sem,
     blend weights are shared across the C cotangent channels.
     """
     P = R
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     offsets = list(range(-R, R + 1))
     WR = TZ + 2 * P
-    Dz = pl.num_programs(0) * TZ + 2 * P
+    Dz = pl.num_programs(1) * TZ + 2 * P
 
     _load_windows(x_hbm, window, sem, C=C + 3, rows_src=Dz, rows_win=WR,
-                  src0=lambda c: c * Dz + i * TZ, win_rows=WR)
+                  src0=lambda c: (b * (C + 3) + c) * Dz + i * TZ, win_rows=WR)
     col = jax.lax.broadcasted_iota(jnp.int32, (Hy, W), 1)
 
     def rbody(r, _):
@@ -340,7 +362,7 @@ def _tblend_kernel(x_hbm, out_ref, window, sem,
             accs = jax.lax.fori_loop(0, len(offsets), body, accs)
 
         for c in range(C):
-            out_ref[c, r] = accs[c]
+            out_ref[0, c, r] = accs[c]
         return 0
 
     jax.lax.fori_loop(0, TZ, rbody, 0)
@@ -354,20 +376,35 @@ def warp_bounded_tblend_pallas(disp_vox, g, radius: int, interpret: bool = False
     edge-folded); the caller folds z and y with
     ``resample._fold_edge(·, P, axes=(-3, -2))``.
     """
-    @jax.custom_batching.sequential_vmap
-    def call(disp_vox, g):
-        return _tblend_pallas(disp_vox, g, radius, interpret)
-
-    return call(disp_vox, g)
-
-
-def _tblend_pallas(disp_vox, g, radius, interpret):
-    R = int(radius)
-    P = R
     squeeze = g.ndim == 3
     if squeeze:
         g = g[None]
-    C, D, H, W = g.shape
+
+    @jax.custom_batching.custom_vmap
+    def call(disp_vox, g):
+        return _tblend_batched(disp_vox[None], g[None], radius, interpret)[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, disp_vox, g):
+        d_b, g_b = in_batched
+        if not d_b:
+            disp_vox = jnp.broadcast_to(
+                disp_vox[None], (axis_size,) + disp_vox.shape)
+        if not g_b:
+            g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
+        return _tblend_batched(disp_vox, g, radius, interpret), True
+
+    out = call(disp_vox, g)
+    return out[0] if squeeze else out
+
+
+def _tblend_batched(disp5, g5, radius, interpret):
+    """Batched tblend kernel call: ``disp5 (B, 3, D, H, W)``,
+    ``g5 (B, C, D, H, W)``; batch rides the leading grid axis."""
+    R = int(radius)
+    P = R
+    B, C = g5.shape[0], g5.shape[1]
+    D, H, W = g5.shape[-3:]
     TZ = 8
 
     Dp_out = D + 2 * P
@@ -377,18 +414,20 @@ def _tblend_pallas(disp_vox, g, radius, interpret):
     Hy = Hy_out + 2 * P + (-(Hy_out + 2 * P)) % 8
     Dz = Dz_out + 2 * P
 
-    x = jnp.concatenate([g, disp_vox], axis=0)  # (C+3, D, H, W)
-    x = jnp.pad(x, [(0, 0), (2 * P, Dz - D - 2 * P), (2 * P, Hy - H - 2 * P), (0, 0)])
-    x = x.reshape((C + 3) * Dz, Hy, W)
+    x = jnp.concatenate([g5, disp5], axis=1)  # (B, C+3, D, H, W)
+    x = jnp.pad(x, [(0, 0), (0, 0), (2 * P, Dz - D - 2 * P),
+                    (2 * P, Hy - H - 2 * P), (0, 0)])
+    x = x.reshape(B * (C + 3) * Dz, Hy, W)
 
     out = pl.pallas_call(
         functools.partial(_tblend_kernel, R=R, C=C, TZ=TZ, Hy=Hy,
                           Hy_out=Hy_out, W=W),
-        grid=(Dz_out // TZ,),
+        grid=(B, Dz_out // TZ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((C, TZ, Hy_out, W), lambda i: (0, i, 0, 0),
+        out_specs=pl.BlockSpec((1, C, TZ, Hy_out, W),
+                               lambda b, i: (b, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, Dz_out, Hy_out, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, Dz_out, Hy_out, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM(((C + 3) * (TZ + 2 * P), Hy, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -399,8 +438,7 @@ def _tblend_pallas(disp_vox, g, radius, interpret):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x)
-    out = out[:, :Dp_out, :Hp_out, :]
-    return out[0] if squeeze else out
+    return out[:, :, :Dp_out, :Hp_out, :]
 
 
 def pallas_applicable(vol_shape, radius: int) -> bool:
@@ -422,26 +460,42 @@ def warp_bounded_pallas(vol: jnp.ndarray, disp_vox: jnp.ndarray, radius: int,
     """Pallas forward of the bounded trilinear warp (same contract as
     ``ops.resample.warp_bounded``): ``vol (C?, D, H, W)``, ``disp (3, D, H, W)``.
 
-    vmap (the chain axis) lowers to a sequential per-chain loop — the kernel
-    already saturates the chip, so batching buys nothing and ANY-space HBM
-    operands cannot be block-batched.  ``z_halo=True``: ``vol`` comes with
-    ``R`` halo rows per side in z already (sharded call sites).
+    ``vmap`` (the chain axis) folds the mapped axis into the kernel grid —
+    one ``pallas_call`` serves all chains with no XLA-level per-chain
+    slicing (the sequential_vmap loop cost a dynamic-slice/update
+    round-trip of every operand per chain).  ``z_halo=True``: ``vol`` comes
+    with ``R`` halo rows per side in z already (sharded call sites).
     """
-    @jax.custom_batching.sequential_vmap
-    def call(vol, disp_vox):
-        return _warp_pallas(vol, disp_vox, radius, interpret, z_halo)
-
-    return call(vol, disp_vox)
-
-
-def _warp_pallas(vol, disp_vox, radius, interpret, z_halo=False):
-    R = int(radius)
-    P = R
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[None]
-    C = vol.shape[0]
-    D, H, W = disp_vox.shape[-3:]
+
+    @jax.custom_batching.custom_vmap
+    def call(vol, disp_vox):
+        return _warp_batched(vol[None], disp_vox[None],
+                             radius, interpret, z_halo)[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, vol, disp_vox):
+        v_b, d_b = in_batched
+        if not v_b:
+            vol = jnp.broadcast_to(vol[None], (axis_size,) + vol.shape)
+        if not d_b:
+            disp_vox = jnp.broadcast_to(
+                disp_vox[None], (axis_size,) + disp_vox.shape)
+        return _warp_batched(vol, disp_vox, radius, interpret, z_halo), True
+
+    out = call(vol, disp_vox)
+    return out[0] if squeeze else out
+
+
+def _warp_batched(vol5, disp5, radius, interpret, z_halo=False):
+    """Batched forward kernel call: ``vol5 (B, C, Dz, H, W)``,
+    ``disp5 (B, 3, D, H, W)``; batch rides the leading grid axis."""
+    R = int(radius)
+    P = R
+    B, C = vol5.shape[0], vol5.shape[1]
+    D, H, W = disp5.shape[-3:]
     TD = 8 if D % 8 == 0 else D
 
     # sublane (y) extent of the DMA window must be 8-aligned or the DMA
@@ -449,20 +503,21 @@ def _warp_pallas(vol, disp_vox, radius, interpret, z_halo=False):
     Hp = H + 2 * P + (-(H + 2 * P)) % 8
     Dp = D + 2 * P
     zpad = (0, 0) if z_halo else (P, P)
-    padded = jnp.pad(vol, [(0, 0), zpad, (P, Hp - H - P), (0, 0)], mode="edge")
-    padded = padded.reshape(C * Dp, Hp, W)
+    padded = jnp.pad(vol5, [(0, 0), (0, 0), zpad, (P, Hp - H - P), (0, 0)],
+                     mode="edge")
+    padded = padded.reshape(B * C * Dp, Hp, W)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_warp_kernel, R=R, C=C, TD=TD, H=H, W=W),
-        grid=(D // TD,),
+        grid=(B, D // TD),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # padded vol stays in HBM
-            pl.BlockSpec((3, TD, H, W), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((1, 3, TD, H, W), lambda b, i: (b, 0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, TD, H, W), lambda i: (0, i, 0, 0),
+        out_specs=pl.BlockSpec((1, C, TD, H, W), lambda b, i: (b, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, D, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, D, H, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((C * (TD + 2 * P), Hp, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -470,5 +525,4 @@ def _warp_pallas(vol, disp_vox, radius, interpret, z_halo=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(padded, disp_vox)
-    return out[0] if squeeze else out
+    )(padded, disp5)

@@ -7,6 +7,7 @@ the logic — DMA windowing, sublane rolls, lane-shift clamping — on CPU.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from ir_sgmcmc_tpu.ops.pallas_warp import pallas_applicable, warp_bounded_pallas
@@ -72,3 +73,51 @@ def test_pallas_backward_kernels_match_xla(shape, radius, chan):
     np.testing.assert_allclose(np.asarray(gv),
                                np.asarray(_bwd_tblend_xla(vol, disp, radius, g)),
                                atol=1e-5)
+
+
+def test_blend_vmap_matches_per_example():
+    """vmap folds the batch into the kernel grid (one pallas_call for all
+    chains — the exact-path chain-vmap hot path) and must equal per-example
+    calls; an unbatched ``vol`` operand broadcasts into the rule."""
+    from ir_sgmcmc_tpu.ops.pallas_warp import (
+        warp_bounded_dgrad_pallas,
+        warp_bounded_tblend_pallas,
+    )
+
+    shape = (8, 8, 128)
+    radius = 2
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.standard_normal((2, 3) + shape).astype(np.float32))
+    disp = jnp.asarray(
+        ((rng.random((2, 3) + shape) * 2 - 1) * radius * 1.2).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, 3) + shape).astype(np.float32))
+
+    out = jax.vmap(lambda v, d: warp_bounded_pallas(
+        v, d, radius, interpret=True))(vol, disp)
+    gd = jax.vmap(lambda v, d, gg: warp_bounded_dgrad_pallas(
+        v, d, gg, radius, interpret=True))(vol, disp, g)
+    gp = jax.vmap(lambda d, gg: warp_bounded_tblend_pallas(
+        d, gg, radius, interpret=True))(disp, g)
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out[b]),
+            np.asarray(warp_bounded_pallas(vol[b], disp[b], radius,
+                                           interpret=True)), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(gd[b]),
+            np.asarray(warp_bounded_dgrad_pallas(vol[b], disp[b], g[b],
+                                                 radius, interpret=True)),
+            atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(gp[b]),
+            np.asarray(warp_bounded_tblend_pallas(disp[b], g[b], radius,
+                                                  interpret=True)), atol=2e-5)
+
+    # unbatched vol: the rule broadcasts it across the mapped axis
+    out_shared = jax.vmap(lambda d: warp_bounded_pallas(
+        vol[0], d, radius, interpret=True))(disp)
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out_shared[b]),
+            np.asarray(warp_bounded_pallas(vol[0], disp[b], radius,
+                                           interpret=True)), atol=2e-5)
