@@ -1,0 +1,201 @@
+"""Compiled-mode (Mosaic) parity selftest for all three Pallas kernel families.
+
+VERDICT r3 missing #4: every committed kernel parity check runs in interpret
+mode (tests/test_pallas_*.py), which validates the logic but not the Mosaic
+lowering — exactly the risk class of kernel rewrites like the block-warp
+x-gather -> ``take_along_axis`` change.  This script runs each kernel family
+COMPILED on the attached TPU against the same XLA oracles the interpret
+tests use, at small lane-aligned shapes, and prints one JSON line:
+
+    {"ok": true, "platform": "tpu", "checks": {name: max_abs_err, ...}, ...}
+
+Exit code 0 iff every check passes its tolerance.  Run it directly::
+
+    python scripts/tpu_selftest.py            # needs the TPU tunnel
+
+or via the test suite's ``tpu`` marker (tests/test_tpu_compiled.py), which
+restores the tunnel env the CPU-forced conftest strips.  Compiled
+executables persist in .jax_cache/ so repeat runs are seconds.
+
+Tolerances are wider than the interpret tests' (f32 on TPU accumulates
+rounding differently than CPU XLA): forward 1e-4, gradients 1e-3 — actual
+max errors are printed so BASELINE.md can record the measured parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+FWD_ATOL = 1e-4
+GRAD_ATOL = 1e-3
+
+
+def _smooth_disp(dims, magnitude, seed=0):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((3, 2, 2, 2)).astype(np.float32) * magnitude
+    d = jax.image.resize(jnp.asarray(c), (3,) + dims, method="cubic")
+    return jnp.clip(d, -magnitude, magnitude)
+
+
+def run_selftest(interpret: bool = False) -> dict:
+    """Run every family; return {"ok", "platform", "checks", "timings_s"}.
+
+    ``interpret=True`` runs the same checks in interpret mode (CI smoke on
+    CPU — the lowering is NOT validated there).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ir_sgmcmc_tpu.ops import resample
+    from ir_sgmcmc_tpu.ops.pallas_warp import (
+        warp_bounded_dgrad_pallas,
+        warp_bounded_pallas,
+        warp_bounded_tblend_pallas,
+    )
+    from ir_sgmcmc_tpu.ops.pallas_split_warp import (
+        split_warp_bwd_pallas,
+        split_warp_pallas,
+    )
+    from ir_sgmcmc_tpu.ops.resample import (
+        _bwd_dgrads_xla,
+        _bwd_tblend_xla,
+        _fold_edge,
+        _warp_bounded_impl,
+    )
+    from ir_sgmcmc_tpu.ops.stencil import _split_compose_impl
+
+    platform = jax.devices()[0].platform
+    checks: dict[str, float] = {}
+    timings: dict[str, float] = {}
+
+    def record(name, got, ref, atol):
+        err = float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32)
+                                    - jnp.asarray(ref, jnp.float32))))
+        checks[name] = err
+        status = "ok" if err <= atol else f"FAIL (> {atol:g})"
+        print(f"  {name:40s} max|err| = {err:.3e}  {status}",
+              file=sys.stderr, flush=True)
+        return err <= atol
+
+    ok = True
+    rng = np.random.default_rng(0)
+    shape = (8, 8, 128)
+    radius = 2
+
+    # --- family 1: exact-path bounded blend warp (fwd, dgrad, tblend) ----
+    t0 = time.monotonic()
+    vol = jnp.asarray(rng.standard_normal((3,) + shape).astype(np.float32))
+    disp = jnp.asarray(
+        ((rng.random((3,) + shape) * 2 - 1) * radius * 1.2).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((3,) + shape).astype(np.float32))
+
+    out = warp_bounded_pallas(vol, disp, radius, interpret=interpret)
+    ok &= record("blend_warp.fwd", out, _warp_bounded_impl(vol, disp, radius),
+                 FWD_ATOL)
+
+    gd = warp_bounded_dgrad_pallas(vol, disp, g, radius, interpret=interpret)
+    gd = jnp.where(jnp.abs(disp) <= radius, gd, 0.0)
+    ok &= record("blend_warp.dgrad", gd, _bwd_dgrads_xla(vol, disp, radius, g),
+                 GRAD_ATOL)
+
+    gp = warp_bounded_tblend_pallas(disp, g, radius, interpret=interpret)
+    gv = _fold_edge(gp, radius, axes=(-3, -2))
+    ok &= record("blend_warp.tblend", gv, _bwd_tblend_xla(vol, disp, radius, g),
+                 GRAD_ATOL)
+
+    # chain-vmap (the engine hot path folds the batch into the kernel grid)
+    vol2 = jnp.stack([vol, vol * 0.5])
+    disp2 = jnp.stack([disp, -disp])
+    out2 = jax.vmap(lambda v, d: warp_bounded_pallas(
+        v, d, radius, interpret=interpret))(vol2, disp2)
+    ref2 = jnp.stack([_warp_bounded_impl(vol2[b], disp2[b], radius)
+                      for b in range(2)])
+    ok &= record("blend_warp.vmap_fwd", out2, ref2, FWD_ATOL)
+    timings["blend_warp"] = round(time.monotonic() - t0, 1)
+
+    # --- family 2: dimensionally-split composition kernels ---------------
+    t0 = time.monotonic()
+    d = jnp.asarray((rng.standard_normal((3,) + shape) * 2.0).astype(np.float32))
+    u = jnp.asarray((rng.standard_normal((3,) + shape) * 0.9).astype(np.float32))
+    gs = jnp.asarray(rng.standard_normal((3,) + shape).astype(np.float32))
+
+    out = split_warp_pallas(d, u, add_u=True, interpret=interpret)
+    ok &= record("split_warp.fwd", out, _split_compose_impl(d, u), FWD_ATOL)
+
+    gd_ref, gu_ref = jax.vjp(_split_compose_impl, d, u)[1](gs)
+    gd, gu_warp = split_warp_bwd_pallas(d, u, gs, interpret=interpret)
+    ok &= record("split_warp.bwd_d", gd, gd_ref, GRAD_ATOL)
+    ok &= record("split_warp.bwd_u", gu_warp + gs, gu_ref, GRAD_ATOL)
+
+    # bf16 operands (the TPU composition-phase default)
+    out_bf = split_warp_pallas(d.astype(jnp.bfloat16), u.astype(jnp.bfloat16),
+                               add_u=True, interpret=interpret)
+    ok &= record("split_warp.fwd_bf16", out_bf.astype(jnp.float32),
+                 _split_compose_impl(d, u), 4e-2)
+    timings["split_warp"] = round(time.monotonic() - t0, 1)
+
+    # --- family 3: block-gather warp (public dispatch, fwd + grad) -------
+    t0 = time.monotonic()
+    bound = 5
+    vol1 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    disp1 = _smooth_disp(shape, magnitude=4.0, seed=4) + 0.25
+
+    def loss(dd):
+        return jnp.sum(resample.warp_block_gather(vol1, dd, bound, radius, 8) ** 2)
+
+    resample.set_pallas_mode(False)
+    try:
+        ref_out = resample.warp_block_gather(vol1, disp1, bound, radius, 8)
+        ref_g = jax.grad(loss)(disp1)
+        resample.set_pallas_mode("interpret" if interpret else True)
+        got_out = resample.warp_block_gather(vol1, disp1, bound, radius, 8)
+        got_g = jax.grad(loss)(disp1)
+    finally:
+        resample.set_pallas_mode(None)
+
+    ok &= record("block_warp.fwd", got_out, ref_out, FWD_ATOL)
+    ok &= record("block_warp.grad", got_g, ref_g, GRAD_ATOL)
+    timings["block_warp"] = round(time.monotonic() - t0, 1)
+
+    return {"ok": bool(ok), "platform": platform, "interpret": interpret,
+            "checks": {k: float(f"{v:.3e}") for k, v in checks.items()},
+            "timings_s": timings}
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          str(REPO / ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    interpret = "--interpret" in sys.argv
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    if not interpret and platform not in ("tpu",):
+        print(json.dumps({"ok": False, "platform": platform,
+                          "error": "no TPU attached — compiled Mosaic "
+                                   "parity needs real hardware (use "
+                                   "--interpret for the CPU smoke)"}))
+        return 2
+
+    t0 = time.monotonic()
+    result = run_selftest(interpret=interpret)
+    result["total_s"] = round(time.monotonic() - t0, 1)
+    print(json.dumps(result))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

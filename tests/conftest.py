@@ -24,6 +24,10 @@ def pytest_configure(config):
         except Exception:
             pass
     env = dict(os.environ)
+    # stash the tunnel env so tests/test_tpu_compiled.py can restore it in a
+    # subprocess (the compiled-Mosaic selftest needs the real TPU)
+    env["IR_SGMCMC_TUNNEL_POOL_IPS"] = env.get("PALLAS_AXON_POOL_IPS", "")
+    env["IR_SGMCMC_TUNNEL_PLATFORMS"] = env.get("JAX_PLATFORMS", "")
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     flags = [

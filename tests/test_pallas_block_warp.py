@@ -1,8 +1,10 @@
 """Block-gather warp Pallas kernels vs the XLA formulation (interpret mode).
 
-The kernels target real TPUs (lane-aligned W, MXU one-hot gather); interpret
-mode checks the logic — static-window DMA, x-gather matmul, z/y mask-select
-chains, residual blend — on CPU against ``ops.resample``'s gather path.
+The kernels target real TPUs (lane-aligned W, dynamic lane gather); interpret
+mode checks the logic — static-window DMA, ``take_along_axis`` x-gather,
+z/y mask-select chains, residual blend — on CPU against ``ops.resample``'s
+gather path.  Compiled-Mosaic parity on real hardware is covered by
+scripts/tpu_selftest.py (tests/test_tpu_compiled.py, marker ``tpu``).
 """
 
 import numpy as np
