@@ -48,6 +48,7 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[1]
 SHIMS = REPO / "scripts" / "ref_shims"
 REFERENCE = Path("/root/reference")
+sys.path.insert(0, str(REPO))
 
 
 def log(msg):
@@ -105,8 +106,27 @@ def prepare_reference(work: Path) -> Path:
     bt.write_text(bt.read_text().replace("self.device = 'cuda:0'",
                                          "self.device = 'cpu'"))
     ut = ref / "utils" / "util.py"
-    ut.write_text(ut.read_text().replace("device='cuda:0'", "device='cpu'"))
-    log(f"reference copied+patched at {ref}")
+    text = ut.read_text().replace("device='cuda:0'", "device='cpu'")
+    # pandas 3.x copy-on-write compatibility for MetricTracker
+    # (utils/util.py:486-509): `.values[:] = 0` is read-only and chained
+    # `self._data.total[key] += ...` no longer writes through — rewrite to
+    # .loc, preserving the semantics exactly
+    text = (text
+            .replace("self._data[col].values[:] = 0",
+                     "self._data[col] = 0.0")
+            .replace("self._data.total[key] += value * n",
+                     "self._data.loc[key, 'total'] += value * n")
+            .replace("self._data.counts[key] += n",
+                     "self._data.loc[key, 'counts'] += n")
+            .replace(
+                "self._data.average[key] = self._data.total[key] / "
+                "self._data.counts[key]",
+                "self._data.loc[key, 'average'] = "
+                "self._data.loc[key, 'total'] / self._data.loc[key, 'counts']")
+            .replace("return self._data.average[key]",
+                     "return self._data.loc[key, 'average']"))
+    ut.write_text(text)
+    log(f"reference copied+patched at {ref} (cpu device, pandas-3 CoW)")
     return ref
 
 

@@ -100,6 +100,15 @@ def main(argv=None):
                         "(raising max_disp does not move that counter)")
     p.add_argument("--anchor-mode", choices=["taylor", "blend"], default=None)
     p.add_argument("--anchor-period", type=int, default=None)
+    p.add_argument("--thin", type=int, default=None,
+                   help="posterior-accumulator thinning (trainer.mcmc_thin; "
+                        "default 1 = every post-burn-in sample feeds the "
+                        "Welford accumulators; the reference keeps every "
+                        "log_period_MCMC-th sample only) — the calibration "
+                        "sweep lever (VERDICT r3 #7)")
+    p.add_argument("--noise-alpha", type=float, default=None,
+                   help="uniform transformation-noise magnitude (config "
+                        "uniform_noise.magnitude; default 0.1)")
     p.add_argument("--max-device-chunk", type=int, default=None,
                    help="cap on uninterrupted device-scan length (axon "
                         "worker stability boundary; the gather integrator "
@@ -173,6 +182,11 @@ def main(argv=None):
         cfg["trainer"]["anchor_mode"] = args.anchor_mode
     if args.anchor_period is not None:
         cfg["trainer"]["anchor_period"] = args.anchor_period
+    if args.thin is not None:
+        cfg["trainer"]["mcmc_thin"] = args.thin
+    if args.noise_alpha is not None:
+        cfg["trainer"].setdefault("uniform_noise", {})["magnitude"] = \
+            args.noise_alpha
     config = Config(cfg, run_id="quality")
 
     la = cfg["data_loader"]["args"]

@@ -123,8 +123,20 @@ def summarise(trace_dir: Path, top: int = 25, peak_gbs: float = 819.0):
 
     rows = sorted(self_t.items(), key=lambda kv: -kv[1])[:top]
     width = max((len(n) for n, _ in rows), default=4)
+    # aggregate MFU-style headline (VERDICT r3 #8): one bytes-weighted
+    # number for the WHOLE trace — total leaf bytes over total leaf
+    # self-time, as a share of HBM speed-of-light.  "The entire transition
+    # runs at X% of what the chip's memory system could possibly sustain."
+    agg_bytes = sum(bytes_acc.values())
+    agg_leaf_t = sum(leaf_t.values())
+    agg_gbs = agg_bytes / (agg_leaf_t * 1e-6) / 1e9 if agg_leaf_t else 0.0
+    agg_sol = 100.0 * agg_gbs / peak_gbs
     print(f"device self-time total: {total / 1e3:.1f} ms   "
           f"(roofline vs {peak_gbs:.0f} GB/s HBM)")
+    print(f"AGGREGATE: {agg_bytes / 1e9:.2f} GB moved in "
+          f"{agg_leaf_t / 1e3:.1f} ms leaf time -> {agg_gbs:.0f} GB/s "
+          f"= {agg_sol:.0f}% of HBM speed-of-light (bytes-weighted, whole "
+          f"trace)")
     print(f"{'op':<{width}}  {'total_ms':>10}  {'share':>6}  {'calls':>7}  "
           f"{'mean_us':>10}  {'MB_moved':>9}  {'GB/s':>7}  {'%SoL':>5}")
     for name, t in rows:

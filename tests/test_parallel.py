@@ -848,3 +848,55 @@ def test_trainer_pair_parallel(tmp_path):
     assert (root / "fields/MCMC_displacement_mean.vtk").exists()
     for i in range(1, 4):
         assert (root / f"pair_{i}/fields/MCMC_displacement_mean.vtk").exists()
+
+
+def test_trainer_pair_parallel_resume(tmp_path):
+    """Pair-parallel resume (VERDICT r3 #6): a pair-stacked MCMC checkpoint
+    resumes all pairs (the sampling loop is a no-op at a completed step
+    count), and a pair-count mismatch is refused with a precise error."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    from ir_sgmcmc_tpu.config import Config
+    from ir_sgmcmc_tpu.trainer import Trainer
+
+    def cfg(where, no_pairs=2):
+        c = json.loads(
+            (Path(__file__).parent.parent
+             / "configs/demo/config_synthetic.json").read_text())
+        c["data_loader"]["args"]["dims"] = [12, 12, 12]
+        c["data_loader"]["args"]["no_pairs"] = no_pairs
+        c["transformation_module"]["args"] = {"no_steps": 4, "max_disp": 4}
+        c["trainer"].update(
+            save_dir=str(where), VI=True, no_iters_VI=4, log_period_VI=2,
+            no_samples_VI_test=2, MCMC=True, MCMC_init="VI", no_chains=2,
+            no_iters_burn_in=2, no_samples_MCMC=4, log_period_MCMC=3,
+            speed_test_iters=2, tensorboard=False, seed=7,
+            pair_parallel=True, distribute=False)
+        return Config(c, run_id="t")
+
+    config = cfg(tmp_path / "a")
+    s1 = Trainer(config).run()
+    assert len(s1) == 2 and all("mcmc_aborted" not in s for s in s1)
+    ckpt = config.save_dirs["models"] / "mcmc_latest.npz"
+    assert ckpt.exists()
+
+    from ir_sgmcmc_tpu.utils.checkpoint import peek_meta
+
+    meta = peek_meta(ckpt)
+    assert meta.get("pair_parallel") == 2
+    assert meta.get("block_radius") == 2
+
+    # resume the completed run: loop is a no-op, posterior stats still valid
+    config2 = cfg(tmp_path / "b")
+    s2 = Trainer(config2, resume=str(ckpt)).run()
+    assert len(s2) == 2
+    assert all("mcmc_aborted" not in s for s in s2)
+    assert (config2.dir / "fields/MCMC_displacement_mean.vtk").exists()
+
+    # pair-count mismatch is refused
+    config3 = cfg(tmp_path / "c", no_pairs=3)
+    with pytest.raises(ValueError, match="pair"):
+        Trainer(config3, resume=str(ckpt)).run()

@@ -366,3 +366,41 @@ def test_checkpoint_time_gating_and_save_period(tmp_path):
         for p in (run_dir / "samples/MCMC").glob("chain_*_im_warped.nii.gz")
     })
     assert steps == [4, 8], steps
+
+
+def test_mcmc_resume_restores_escalated_radius(tmp_path):
+    """Durable auto-recovery (VERDICT r3 #6): a checkpoint whose meta
+    records an escalated ``block_warp.radius`` resumes at that radius
+    instead of re-aborting and re-escalating from the configured one."""
+    config = _demo_cfg(tmp_path, VI=False, MCMC=True, MCMC_init="noise",
+                       no_iters_burn_in=2, no_samples_MCMC=6, log_period_MCMC=4,
+                       no_samples_VI_test=0, non_diffeomorphic_tolerance=0.005)
+    Trainer(config).run()
+    ckpt = config.save_dirs["models"] / "mcmc_latest.npz"
+    # meta written by the trainer records the CURRENT radius
+    from ir_sgmcmc_tpu.utils.checkpoint import peek_meta
+
+    assert peek_meta(ckpt).get("block_radius") == 2
+
+    # simulate a run that escalated to radius 3 before checkpointing
+    with np.load(ckpt) as a:
+        payload = {k: a[k] for k in a.files}
+    meta = json.loads(bytes(payload["__meta__"]).decode())
+    meta["block_radius"] = 3
+    payload["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    esc = tmp_path / "escalated.npz"
+    with open(esc, "wb") as f:
+        np.savez(f, **payload)
+
+    # resume with MORE samples so the loop actually advances (and writes
+    # its own checkpoint, which must carry the radius forward)
+    config2 = _demo_cfg(tmp_path / "resumed", VI=False, MCMC=True,
+                        MCMC_init="noise", no_iters_burn_in=2,
+                        no_samples_MCMC=10, log_period_MCMC=4,
+                        no_samples_VI_test=0,
+                        non_diffeomorphic_tolerance=0.005)
+    t2 = Trainer(config2, resume=str(esc))
+    t2.run()
+    assert t2.bundle.block_radius == 3
+    ckpt2 = config2.save_dirs["models"] / "mcmc_latest.npz"
+    assert peek_meta(ckpt2).get("block_radius") == 3
