@@ -1411,11 +1411,15 @@ class Trainer:
                 iters = self.speed_test_iters
                 if lengths and iters < lengths[0]:
                     iters = lengths[0]  # no shorter compiled chunk — round up
+                # host sync via a DEVICE-side reduction: np.asarray(v)
+                # would drag the full 50 MB chain state through the ~10 MB/s
+                # tunnel (~5 s — half the timed window at 128³), reading as
+                # a phantom 35% in-trainer throughput loss vs bench.py
                 mcmc, _ = run_steps(mcmc, iters)  # warm lengths
-                _ = float(np.asarray(mcmc.v).mean())
+                _ = float(jnp.sum(mcmc.v))
                 t1 = time.perf_counter()
                 mcmc, _ = run_steps(mcmc, iters)
-                _ = float(np.asarray(mcmc.v).mean())
+                _ = float(jnp.sum(mcmc.v))
                 dt = time.perf_counter() - t1
                 sps = self.no_chains * iters / dt
                 self.logger.info("MCMC sampling speed: %.2f samples/sec", sps)
