@@ -65,6 +65,18 @@ class DisplacementSaturationAbort(TrainerAbort):
     /root/reference/utils/transformation.py:63-76)."""
 
 
+def _is_pallas_failure(e: Exception) -> bool:
+    """Heuristic: does this look like a Pallas/Mosaic kernel lowering or
+    compile failure (vs a numerical/user error)?  ADVICE r3: the trainer
+    keeps a pure-XLA fallback if ``pallas_call`` compilation fails on
+    hardware the kernels were not validated on (compiled parity is checked
+    by scripts/tpu_selftest.py on every TPU generation we can reach, but a
+    new Mosaic version can regress a lowering)."""
+    s = f"{type(e).__name__}: {e}"
+    return any(k in s for k in ("Mosaic", "mosaic", "pallas", "Pallas",
+                                "tpu_custom_call", "custom_call"))
+
+
 def _host(tree):
     return jax.tree.map(np.asarray, tree)
 
@@ -706,6 +718,26 @@ class Trainer:
         savers.submit(lambda: save_checkpoint(path, snap, meta))
         self._last_ckpt_t = time.perf_counter()
 
+    def _try_pallas_fallback(self, e: Exception) -> bool:
+        """One-shot pure-XLA fallback when a Pallas kernel fails to
+        compile/lower (ADVICE r3).  Returns True when the caller should
+        rebuild its chunk functions and retry; False re-raises.  Only
+        compile-time failures are safely retryable — a failure after buffer
+        donation surfaces as a deleted-buffer error on the retry, which
+        is the correct loud outcome."""
+        if getattr(self, "_pallas_disabled", False) or not _is_pallas_failure(e):
+            return False
+        from .ops import resample
+
+        self.logger.warning(
+            "Pallas kernel compilation failed (%s: %.300s) — disabling the "
+            "kernels for this run and retrying with the pure-XLA path "
+            "(slower; run scripts/tpu_selftest.py to diagnose)",
+            type(e).__name__, e)
+        resample.set_pallas_mode(False)
+        self._pallas_disabled = True
+        return True
+
     def _check_saturation(self, sat: int, sat_resid: int, step: int,
                           phase: str) -> None:
         """Displacement-saturation guard: warn on any clamped voxels, abort
@@ -857,7 +889,13 @@ class Trainer:
                     chunk_fns[this] = make_vi_chunk(
                         step_fn, this, step_builder=step_builder,
                         images=(fixed, moving))
-                state, ms = chunk_fns[this](state)
+                try:
+                    state, ms = chunk_fns[this](state)
+                except Exception as e:
+                    if not self._try_pallas_fallback(e):
+                        raise
+                    chunk_fns.clear()
+                    continue  # rebuild this chunk pure-XLA
                 n -= this
             return state, ms
 
@@ -1177,7 +1215,13 @@ class Trainer:
                                                        "taylor")),
                         anchor_period=int(self.t_cfg.get("anchor_period",
                                                          25)))
-                mcmc, ms = chunk_fns[this](mcmc)
+                try:
+                    mcmc, ms = chunk_fns[this](mcmc)
+                except Exception as e:
+                    if not self._try_pallas_fallback(e):
+                        raise
+                    chunk_fns.clear()
+                    continue  # rebuild this chunk pure-XLA
                 n -= this
             return mcmc, ms
 

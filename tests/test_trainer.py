@@ -404,3 +404,25 @@ def test_mcmc_resume_restores_escalated_radius(tmp_path):
     assert t2.bundle.block_radius == 3
     ckpt2 = config2.save_dirs["models"] / "mcmc_latest.npz"
     assert peek_meta(ckpt2).get("block_radius") == 3
+
+
+def test_pallas_fallback_disables_kernels_once(tmp_path):
+    """ADVICE r3: a Mosaic/pallas compile failure flips the run to the
+    pure-XLA path exactly once; unrelated errors are not swallowed."""
+    from ir_sgmcmc_tpu.ops import resample
+    from ir_sgmcmc_tpu.trainer import _is_pallas_failure
+
+    assert _is_pallas_failure(RuntimeError("Mosaic lowering failed: ..."))
+    assert _is_pallas_failure(RuntimeError("tpu_custom_call: INTERNAL"))
+    assert not _is_pallas_failure(ValueError("shape mismatch (3, 4)"))
+
+    config = _demo_cfg(tmp_path)
+    t = Trainer(config)
+    try:
+        assert t._try_pallas_fallback(RuntimeError("pallas_call failed"))
+        assert t._pallas_disabled
+        # second failure: no silent retry loop — caller re-raises
+        assert not t._try_pallas_fallback(RuntimeError("pallas_call failed"))
+        assert not t._try_pallas_fallback(ValueError("unrelated"))
+    finally:
+        resample.set_pallas_mode(None)
