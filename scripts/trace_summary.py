@@ -133,10 +133,15 @@ def summarise(trace_dir: Path, top: int = 25, peak_gbs: float = 819.0):
     agg_sol = 100.0 * agg_gbs / peak_gbs
     print(f"device self-time total: {total / 1e3:.1f} ms   "
           f"(roofline vs {peak_gbs:.0f} GB/s HBM)")
-    print(f"AGGREGATE: {agg_bytes / 1e9:.2f} GB moved in "
-          f"{agg_leaf_t / 1e3:.1f} ms leaf time -> {agg_gbs:.0f} GB/s "
-          f"= {agg_sol:.0f}% of HBM speed-of-light (bytes-weighted, whole "
-          f"trace)")
+    print(f"AGGREGATE: {agg_bytes / 1e9:.2f} GB (logical operand+result "
+          f"bytes) in {agg_leaf_t / 1e3:.1f} ms leaf time -> "
+          f"{agg_gbs:.0f} GB/s = {agg_sol:.0f}% of HBM speed-of-light "
+          f"(bytes-weighted, whole trace)")
+    if agg_sol > 100:
+        print("  (>100%: logical bytes exceed possible physical HBM traffic"
+              " — operands re-read inside the same fusion or served from"
+              " VMEM; the memory system is saturated, the overshoot is"
+              " on-chip reuse)")
     print(f"{'op':<{width}}  {'total_ms':>10}  {'share':>6}  {'calls':>7}  "
           f"{'mean_us':>10}  {'MB_moved':>9}  {'GB/s':>7}  {'%SoL':>5}")
     for name, t in rows:
