@@ -95,11 +95,19 @@ def main(argv=None):
         wall = round(time.monotonic() - t0, 1)
         rec = {"point": name, "knobs": delta, "wall_s": wall}
         if proc.returncode == 0:
-            # quality_eval prints the report JSON as its last stdout block
-            try:
-                txt = proc.stdout
-                rec.update(json.loads(txt[txt.index("{"):]))
-            except (ValueError, json.JSONDecodeError):
+            # quality_eval prints the report as its last JSON stdout line
+            parsed = None
+            for line in reversed(proc.stdout.splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        parsed = json.loads(line)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+            if parsed is not None:
+                rec.update(parsed)
+            else:
                 rec["error"] = "unparseable stdout"
                 rec["stdout_tail"] = proc.stdout[-500:]
         else:
