@@ -44,6 +44,11 @@ POINTS = [
                                           # at the head-to-head protocol
                                           # (log_period_MCMC = 40)
     ("burn_600", {"burn-in": 600}),
+    # burn-in turned out to be the live lever (600 -> calib 0.546 vs 0.476
+    # at the canonical 300): chase the saturation point
+    ("burn_1200", {"burn-in": 1200}),
+    ("burn_2400", {"burn-in": 2400}),
+    ("burn_1200_samples_1400", {"burn-in": 1200, "samples": 1400}),
     ("samples_1400", {"samples": 1400}),
     ("noise_0.05", {"noise-alpha": 0.05}),
     ("noise_0.2", {"noise-alpha": 0.2}),
