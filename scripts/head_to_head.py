@@ -299,14 +299,23 @@ def compare(work: Path) -> dict:
             return None
         mean = read_vtk_field(mean_p[-1])
         std = read_vtk_field(std_p[-1])
-        if label == "reference":
-            # the reference's tensors are (x_file, y_file, z_file)-ordered
-            # (datasets.py:72 transpose), so its dumps read back as
-            # (3, z_file, y_file, x_file); ours and disp_gt are
-            # (3, x_file, y_file, z_file).  Channels agree (both stacks
-            # order channel 0 = last-spatial-axis displacement).
-            mean = mean.transpose(0, 3, 2, 1)
-            std = std.transpose(0, 3, 2, 1)
+        # BOTH stacks load NIfTI with a (z,y,x) -> (x,y,z) transpose
+        # (reference datasets.py:72; ours data/dataset.py:126), so both
+        # dumps read back spatially as (3, z_file, y_file, x_file) while
+        # disp_gt is (3, x_file, y_file, z_file): transpose both.
+        # Channel conventions DIFFER: the reference orders channel 0 =
+        # last-internal-axis displacement (torch grid_sample x = W); ours
+        # orders channel c = internal-axis-c displacement, so ours also
+        # needs a channel reversal.  Verified empirically on the round-4
+        # 64-cubed artifacts: every other transform combination scores a
+        # displacement error at-or-above the mean GT motion with
+        # calibration near zero or negative (orientation scramble), for
+        # BOTH stacks independently.
+        mean = mean.transpose(0, 3, 2, 1)
+        std = std.transpose(0, 3, 2, 1)
+        if label == "ours":
+            mean = mean[::-1]
+            std = std[::-1]
         return mean, std
 
     sides = {}
@@ -377,6 +386,28 @@ def compare(work: Path) -> dict:
             if key in ref_scalars:
                 result["reference"][key.split("/")[-1] + "_reg"] = round(
                     float(ref_scalars[key]), 5)
+
+    # same extraction from OUR tensorboard channel (tag schema:
+    # DSC/MCMC/chain_N/<structure>, GMM/{scale,proportion}_i)
+    ours_scalars = _load_tb_scalars(work / "ours_out")
+    if ours_scalars:
+        dsc = {}
+        for s in structures:
+            vals = [v for t, v in ours_scalars.items()
+                    if re.fullmatch(rf"DSC/MCMC/chain_\d+/{s}", t)]
+            if vals:
+                dsc[s] = round(float(np.mean(vals)), 4)
+        result.setdefault("ours", {}).update({
+            "final_dsc_per_structure": dsc,
+            "final_dsc_mean": round(float(np.mean(list(dsc.values()))), 4)
+            if dsc else None,
+            "gmm_scales": [round(float(v), 5) for t, v in
+                           sorted(ours_scalars.items())
+                           if re.fullmatch(r"GMM/scale_\d+", t)],
+            "gmm_proportions": [round(float(v), 5) for t, v in
+                                sorted(ours_scalars.items())
+                                if re.fullmatch(r"GMM/proportion_\d+", t)],
+        })
 
     # our run's summary JSON line (run.py prints it; also in the log)
     ours_log = work / "ours.log"
