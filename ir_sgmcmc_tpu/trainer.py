@@ -685,20 +685,38 @@ class Trainer:
 
         return eval_v
 
-    def _log_seg_metrics(self, fixed_np, out, prefix: str, chain=None):
+    def _log_seg_metrics(self, fixed_np, out, prefix: str, chain=None,
+                         defer_asd: bool = False):
+        """Per-structure Dice (cheap: on-device scalars) + EDT-based ASD.
+
+        ``defer_asd=True`` moves the expensive part — the ~4 MB warped-seg
+        fetch over the tunnel plus the host EDT — onto the background
+        artifact-writer thread under a step-bound writer view, so per-period
+        calls never stall the device-dispatch loop (VERDICT r3 #5).
+        """
         tag = f"{prefix}" + (f"/chain_{chain}" if chain is not None else "")
         dsc = np.asarray(out["dsc"])
         for name, val in zip(self.structures, dsc):
             self.writer.add_scalar(f"DSC/{tag}/{name}", float(val))
         self.writer.add_scalar(f"DSC/{tag}/mean", float(dsc.mean()))
         if self.compute_asd:
-            asd, _ = calc_metrics(fixed_np, np.asarray(out["seg_warped"]),
-                                  self.structures, self.spacing)
-            finite = np.isfinite(asd[0])
-            for name, val in zip(self.structures, asd[0]):
-                self.writer.add_scalar(f"ASD/{tag}/{name}", float(val))
-            if finite.any():
-                self.writer.add_scalar(f"ASD/{tag}/mean", float(asd[0][finite].mean()))
+            wb = self.writer.at_step()
+            seg_w = out["seg_warped"]  # NOT donated: jitted eval output
+
+            def _asd_work(wb=wb, fixed_np=fixed_np, seg_w=seg_w, tag=tag):
+                asd, _ = calc_metrics(fixed_np, np.asarray(seg_w),
+                                      self.structures, self.spacing)
+                finite = np.isfinite(asd[0])
+                for name, val in zip(self.structures, asd[0]):
+                    wb.add_scalar(f"ASD/{tag}/{name}", float(val))
+                if finite.any():
+                    wb.add_scalar(f"ASD/{tag}/mean",
+                                  float(asd[0][finite].mean()))
+
+            if defer_asd:
+                savers.submit(_asd_work)
+            else:
+                _asd_work()
         return float(dsc.mean())
 
     def _maybe_checkpoint(self, path, state, meta, force: bool = False,
@@ -876,6 +894,10 @@ class Trainer:
                                    self.opt_reg, fixed, moving, remat=remat)
         eval_fn = self._make_eval(fixed, moving)
         fixed_seg_np = np.asarray(fixed["seg"])
+        # fetched ONCE for the deferred figure closures — static all phase
+        fixed_im_np = np.asarray(fixed["im"], np.float32)
+        moving_im_np = np.asarray(moving["im"], np.float32)
+        fixed_mask_np = np.asarray(fixed["mask"])
 
         # device chunks capped like the MCMC phase (axon worker stability)
         cap = int(self.t_cfg.get("max_device_chunk", 200))
@@ -924,23 +946,44 @@ class Trainer:
                                            float(np.asarray(last[f"max_update_{name}"])))
 
                 out = eval_fn(state.q_v["mu"])
-                mean_dsc = self._log_seg_metrics(fixed_seg_np, out, "VI")
+                mean_dsc = self._log_seg_metrics(fixed_seg_np, out, "VI",
+                                                 defer_asd=True)
                 if self.writer.has_figures:
                     from .utils import figures
 
-                    self.writer.add_figure("VI/residual_hist", figures.residual_histogram(
-                        np.asarray(out["residuals"]), np.asarray(fixed["mask"]),
-                        np.log(np.asarray(last["gmm_proportions"])),
-                        np.log(np.asarray(last["gmm_scales"]))))
-                    self.writer.add_figure("VI/images", figures.image_grid({
-                        "fixed": np.asarray(fixed["im"]),
-                        "moving": np.asarray(moving["im"]),
-                        "warped(mu)": np.asarray(out["im_warped"])}))
-                    self.writer.add_figure("VI/fields", figures.field_norm_grid({
-                        "mu": np.asarray(state.q_v["mu"]),
-                        "sigma": np.exp(0.5 * np.asarray(state.q_v["log_var"])),
-                        "u": np.asarray(state.q_v["u"]),
-                        "displacement": np.asarray(out["displacement"])}))
+                    # figure rendering fetches several full volumes (~60 MB
+                    # f32 inline) — defer to the writer thread on fresh f16
+                    # device copies.  The .astype COPIES matter beyond
+                    # bandwidth: ``run_steps`` donates ``state``, so the
+                    # q_v buffers themselves die at the next loop iteration
+                    wb = self.writer.at_step()
+                    res16 = out["residuals"].astype(jnp.float16)
+                    imw16 = out["im_warped"].astype(jnp.float16)
+                    disp16 = out["displacement"].astype(jnp.float16)
+                    mu16 = state.q_v["mu"].astype(jnp.float16)
+                    sig16 = jnp.exp(0.5 * state.q_v["log_var"]).astype(jnp.float16)
+                    u16 = state.q_v["u"].astype(jnp.float16)
+                    log_props = np.log(np.asarray(last["gmm_proportions"]))
+                    log_scales = np.log(np.asarray(last["gmm_scales"]))
+
+                    def _vi_figs(wb=wb, res=res16, imw=imw16, dp=disp16,
+                                 mu=mu16, sig=sig16, u=u16,
+                                 lp=log_props, ls=log_scales):
+                        wb.add_figure("VI/residual_hist",
+                                      figures.residual_histogram(
+                                          np.asarray(res, np.float32),
+                                          fixed_mask_np, lp, ls))
+                        wb.add_figure("VI/images", figures.image_grid({
+                            "fixed": fixed_im_np,
+                            "moving": moving_im_np,
+                            "warped(mu)": np.asarray(imw, np.float32)}))
+                        wb.add_figure("VI/fields", figures.field_norm_grid({
+                            "mu": np.asarray(mu, np.float32),
+                            "sigma": np.asarray(sig, np.float32),
+                            "u": np.asarray(u, np.float32),
+                            "displacement": np.asarray(dp, np.float32)}))
+
+                    savers.submit(_vi_figs)
                 self.logger.info(
                     "VI %d/%d loss %.1f data %.1f reg %.1f entropy %.1f dice %.4f ndv %d",
                     done, self.no_iters_vi, float(last["total_loss"]),
@@ -1256,7 +1299,9 @@ class Trainer:
             the offending chunk ran — same detection step and message, one
             extra (discarded) chunk of device work.
             """
+            t_p0 = time.perf_counter()
             last = _host(last_dev)
+            t_p1 = time.perf_counter()
             self.writer.set_step(done_at)
             for k in ("data_term", "reg_term", "vd_alpha", "reg_energy",
                       "ndv", "sat"):
@@ -1282,6 +1327,7 @@ class Trainer:
                 # chains further, so its state is not comparable across
                 # sequential / pair-parallel runs)
                 summary["mcmc_mean_dsc"] = float(np.asarray(outs["dsc"]).mean())
+            t_p2 = time.perf_counter()
             post_burn_in = done_at > self.no_iters_burn_in
             # artifact saving fetches ~45 MB/chain over the tunnel — gated
             # on its own period so metric logging can stay frequent
@@ -1290,11 +1336,15 @@ class Trainer:
                          < log_period or done_at >= total))
             for c in range(self.no_chains):
                 out_c = jax.tree.map(lambda x: x[c], outs)
-                self._log_seg_metrics(fixed_seg_np, out_c, "MCMC", chain=c)
+                self._log_seg_metrics(fixed_seg_np, out_c, "MCMC", chain=c,
+                                      defer_asd=True)
                 if save_now:
                     # visualisation volumes travel the tunnel as float16
                     # (half the bytes) and are fetched + written on the
-                    # background writer thread
+                    # background writer thread; the figure render (another
+                    # ~50 MB f32 fetch + matplotlib when done inline — the
+                    # dominant per-period stall on a slow-tunnel host) rides
+                    # the same thread off the SAME f16 buffers
                     im16 = out_c["im_warped"].astype(jnp.float16)
                     disp16 = out_c["displacement"].astype(jnp.float16)
                     ldj16 = out_c["log_det_J"].astype(jnp.float16)
@@ -1306,12 +1356,23 @@ class Trainer:
                     if self.writer.has_figures:
                         from .utils import figures
 
-                        self.writer.add_figure(
-                            f"MCMC/sample/chain_{c}",
-                            figures.sample_grid(
-                                np.asarray(out_c["im_warped"]),
-                                np.asarray(out_c["displacement"]),
-                                np.asarray(out_c["log_det_J"]), chain_no=c))
+                        wb = self.writer.at_step()
+
+                        def _sample_fig(wb=wb, im=im16, dp=disp16, ld=ldj16,
+                                        cc=c):
+                            wb.add_figure(
+                                f"MCMC/sample/chain_{cc}",
+                                figures.sample_grid(
+                                    np.asarray(im, np.float32),
+                                    np.asarray(dp, np.float32),
+                                    np.asarray(ld, np.float32), chain_no=cc))
+
+                        savers.submit(_sample_fig)
+            t_p3 = time.perf_counter()
+            self.logger.debug(
+                "MCMC process %d: fetch-last %.2fs scalars+guards %.2fs "
+                "chains %.2fs", done_at, t_p1 - t_p0, t_p2 - t_p1,
+                t_p3 - t_p2)
             self.logger.info(
                 "MCMC %d/%d data %s reg %s ndv %s",
                 done_at, total,
@@ -1356,16 +1417,40 @@ class Trainer:
                 try:
                     while done < total:
                         this = min(log_period, total - done)
+                        t_a = time.perf_counter()
                         mcmc, ms = run_steps(mcmc, this)  # async dispatch
                         done += this
                         # device-side copy: the live state's buffers are
                         # DONATED to the next chunk, so the deferred
                         # checkpoint needs its own
                         snap = jax.tree.map(jnp.copy, mcmc)
-                        nxt = (done, _last(ms), eval_fn(mcmc.v), snap)
+                        t_b = time.perf_counter()
+                        ev = eval_fn(mcmc.v)
+                        nxt = (done, _last(ms), ev, snap)
+                        t_c = time.perf_counter()
                         if pending is not None:
                             process(*pending)
                             last_good = pending[3]
+                        else:
+                            # first period: the pipeline isn't established
+                            # yet, so a blocking sync here costs nothing —
+                            # record the device cost of chunk+copy+eval
+                            # (the quantity every later fetch-behind-the-
+                            # queue wait is bounded by on the axon tunnel)
+                            float(np.asarray(ev["dsc"]).sum())
+                            self.logger.debug(
+                                "MCMC first period: chunk+copy+eval device "
+                                "wall %.2fs", time.perf_counter() - t_b)
+                            t_e = time.perf_counter()
+                            float(np.asarray(
+                                eval_fn(mcmc.v)["dsc"]).sum())
+                            self.logger.debug(
+                                "MCMC eval alone (compiled): %.2fs",
+                                time.perf_counter() - t_e)
+                        self.logger.debug(
+                            "MCMC period %d: dispatch %.2fs eval-dispatch "
+                            "%.2fs process %.2fs", done, t_b - t_a,
+                            t_c - t_b, time.perf_counter() - t_c)
                         pending = nxt
                     if pending is not None:  # None when resuming a finished phase
                         process(*pending)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import logging
 import logging.handlers
+import threading
 import time
 from pathlib import Path
 
@@ -57,6 +58,9 @@ class ScalarWriter:
         self.prefix = ""
         self._tb = None
         self._jsonl = None
+        # the JSONL fallback is written from both the main loop and the
+        # background artifact-writer thread (deferred ASD/figures)
+        self._jsonl_lock = threading.Lock()
         if not enabled or log_dir is None:
             return
         log_dir = Path(log_dir)
@@ -76,27 +80,47 @@ class ScalarWriter:
     def set_step(self, step: int):
         self.step = int(step)
 
+    def at_step(self, step=None, prefix=None):
+        """Writer view bound to a FIXED (step, prefix).
+
+        The main loop mutates ``self.step``/``self.prefix`` as it advances;
+        work deferred to the background artifact-writer thread must emit
+        under the step it was generated at, not whatever the loop has moved
+        on to.  The returned object exposes the same ``add_*`` surface
+        (tensorboard's writers are safe to call across threads; the JSONL
+        fallback is guarded by ``_jsonl_lock``).
+        """
+        return _BoundWriter(self,
+                            self.step if step is None else int(step),
+                            self.prefix if prefix is None else prefix)
+
     def add_scalar(self, tag, value):
-        tag = self.prefix + tag
+        self._emit_scalar(self.prefix + tag, value, self.step)
+
+    def _emit_scalar(self, tag, value, step):
         if self._tb is not None:
-            self._tb.add_scalar(tag, float(value), self.step)
+            self._tb.add_scalar(tag, float(value), step)
         elif self._jsonl is not None:
-            self._jsonl.write(
-                json.dumps({"t": time.time(), "step": self.step, "tag": tag, "value": float(value)})
-                + "\n"
-            )
+            line = json.dumps({"t": time.time(), "step": step, "tag": tag,
+                               "value": float(value)}) + "\n"
+            with self._jsonl_lock:
+                self._jsonl.write(line)
 
     def add_figure(self, tag, figure):
-        tag = self.prefix + tag
+        self._emit_figure(self.prefix + tag, figure, self.step)
+
+    def _emit_figure(self, tag, figure, step):
         if self._tb is not None:
-            self._tb.add_figure(tag, figure, self.step)
+            self._tb.add_figure(tag, figure, step)
         else:
             self._warn_figures_dropped()
 
     def add_histogram(self, tag, values):
-        tag = self.prefix + tag
+        self._emit_histogram(self.prefix + tag, values, self.step)
+
+    def _emit_histogram(self, tag, values, step):
         if self._tb is not None:
-            self._tb.add_histogram(tag, values, self.step)
+            self._tb.add_histogram(tag, values, step)
         else:
             self._warn_figures_dropped()
 
@@ -123,3 +147,29 @@ class ScalarWriter:
             self._tb.close()
         if self._jsonl is not None:
             self._jsonl.close()
+
+
+class _BoundWriter:
+    """`ScalarWriter` view pinned to one (step, prefix) — see ``at_step``."""
+
+    def __init__(self, writer: ScalarWriter, step: int, prefix: str):
+        self._w = writer
+        self._step = step
+        self._prefix = prefix
+
+    @property
+    def has_figures(self) -> bool:
+        return self._w.has_figures
+
+    def at_step(self, step=None, prefix=None):
+        """Already bound — returns itself so call sites can be uniform."""
+        return self
+
+    def add_scalar(self, tag, value):
+        self._w._emit_scalar(self._prefix + tag, value, self._step)
+
+    def add_figure(self, tag, figure):
+        self._w._emit_figure(self._prefix + tag, figure, self._step)
+
+    def add_histogram(self, tag, values):
+        self._w._emit_histogram(self._prefix + tag, values, self._step)

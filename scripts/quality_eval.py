@@ -109,6 +109,11 @@ def main(argv=None):
     p.add_argument("--noise-alpha", type=float, default=None,
                    help="uniform transformation-noise magnitude (config "
                         "uniform_noise.magnitude; default 0.1)")
+    p.add_argument("--save-period", type=int, default=None,
+                   help="trainer.save_period_MCMC: sample-artifact dump "
+                        "period (default = log period).  On a slow-tunnel "
+                        "host the ~42 MB/period f16 artifact fetch is the "
+                        "full-loop limiter; decimating dumps closes it")
     p.add_argument("--max-device-chunk", type=int, default=None,
                    help="cap on uninterrupted device-scan length (axon "
                         "worker stability boundary; the gather integrator "
@@ -170,6 +175,8 @@ def main(argv=None):
     )
     if args.max_device_chunk is not None:
         cfg["trainer"]["max_device_chunk"] = args.max_device_chunk
+    if args.save_period is not None:
+        cfg["trainer"]["save_period_MCMC"] = args.save_period
     if args.noise_scheme is not None:
         cfg["trainer"].setdefault("uniform_noise", {})["scheme"] = args.noise_scheme
     if args.no_anchor:
