@@ -518,6 +518,7 @@ def test_warp_bounded_sharded_matches_single_device():
 
 
 @requires_8
+@pytest.mark.slow
 def test_warp_bounded_sharded_analytic_grads():
     """The sharded warp's ANALYTIC backward (halo-exchanged dgrad +
     transpose-blend z-row exchange) matches jax.grad of the single-device
@@ -553,6 +554,7 @@ def test_warp_bounded_sharded_analytic_grads():
 
 
 @requires_8
+@pytest.mark.slow
 def test_warp_bounded_sharded_pallas_interpret():
     """Per-shard Pallas kernels under shard_map (interpret mode on the CPU
     mesh): forward and analytic backward match the XLA shard path — the
@@ -672,6 +674,7 @@ def _pair_images(dims, n_pairs):
 
 
 @requires_8
+@pytest.mark.slow
 def test_pair_parallel_mcmc_chunk_matches_sequential():
     """8 image pairs sharded over 8 devices: each pair's SGLD trajectory
     matches running its single-pair chunk alone, and the compiled module
@@ -801,6 +804,7 @@ def test_pair_parallel_vi_chunk_matches_sequential():
 
 
 @requires_8
+@pytest.mark.slow
 def test_trainer_pair_parallel(tmp_path):
     """End-to-end: ``trainer.pair_parallel: true`` registers 4 synthetic
     pairs concurrently over a ('pair',) mesh; per-pair quality matches the
