@@ -983,7 +983,7 @@ class Trainer:
                             "u": np.asarray(u, np.float32),
                             "displacement": np.asarray(dp, np.float32)}))
 
-                    savers.submit(_vi_figs)
+                    savers.submit(_vi_figs, droppable=True)
                 self.logger.info(
                     "VI %d/%d loss %.1f data %.1f reg %.1f entropy %.1f dice %.4f ndv %d",
                     done, self.no_iters_vi, float(last["total_loss"]),
@@ -1367,7 +1367,7 @@ class Trainer:
                                     np.asarray(dp, np.float32),
                                     np.asarray(ld, np.float32), chain_no=cc))
 
-                        savers.submit(_sample_fig)
+                        savers.submit(_sample_fig, droppable=True)
             t_p3 = time.perf_counter()
             self.logger.debug(
                 "MCMC process %d: fetch-last %.2fs scalars+guards %.2fs "

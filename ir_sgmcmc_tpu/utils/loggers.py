@@ -138,9 +138,14 @@ class ScalarWriter:
         if self._tb is not None:
             self._tb.add_text(tag, text, self.step)
         elif self._jsonl is not None:
-            self._jsonl.write(
-                json.dumps({"t": time.time(), "step": self.step, "tag": tag, "text": text}) + "\n"
-            )
+            # same lock as _emit_scalar (ADVICE r4): today add_text only
+            # runs before any background submissions exist, but an unlocked
+            # write would be a latent race the moment that changes
+            with self._jsonl_lock:
+                self._jsonl.write(
+                    json.dumps({"t": time.time(), "step": self.step,
+                                "tag": tag, "text": text}) + "\n"
+                )
 
     def close(self):
         if self._tb is not None:

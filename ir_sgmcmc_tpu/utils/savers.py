@@ -64,9 +64,27 @@ class _Writer:
             finally:
                 self._q.task_done()
 
-    def submit(self, fn):
+    def submit(self, fn, droppable: bool = False):
         self._ensure()
+        # ADVICE r4: deferred figure/eval closures hold live device buffers
+        # (tens of MB f16 per period at 128³), and the queue is unbounded —
+        # a slow tunnel with a short log period could pin device memory
+        # with no backpressure until the phase-end flush.  Purely-visual
+        # work is marked droppable and skipped (counted) once the backlog
+        # is deep; required artifacts (checkpoints, samples, metrics) still
+        # queue unconditionally.
+        if droppable and self._q.qsize() >= self.DROP_DEPTH:
+            self.dropped += 1
+            if self.dropped in (1, 10, 100):
+                _log.warning(
+                    "artifact-writer backlog >= %d: dropped %d droppable "
+                    "figure submission(s) to avoid pinning device memory",
+                    self.DROP_DEPTH, self.dropped)
+            return
         self._q.put(fn)
+
+    DROP_DEPTH = 8
+    dropped = 0
 
     def flush(self):
         """Block until every queued save has been written."""
@@ -76,9 +94,12 @@ class _Writer:
 _WRITER = _Writer()
 
 
-def submit(fn) -> None:
-    """Queue ``fn()`` on the background artifact-writer thread."""
-    _WRITER.submit(fn)
+def submit(fn, droppable: bool = False) -> None:
+    """Queue ``fn()`` on the background artifact-writer thread.
+
+    ``droppable=True`` marks best-effort visual work (figures) that may be
+    skipped when the writer backlog is deep — see ``_Writer.submit``."""
+    _WRITER.submit(fn, droppable=droppable)
 
 
 def flush() -> None:

@@ -95,8 +95,22 @@ def main(argv=None):
         print(f"[sweep] {name}: {' '.join(cmd[2:])}", file=sys.stderr,
               flush=True)
         t0 = time.monotonic()
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=3600, cwd=str(REPO))
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=3600, cwd=str(REPO))
+        except subprocess.TimeoutExpired:
+            # ADVICE r4: record the timeout and keep sweeping — an uncaught
+            # TimeoutExpired aborted the whole sweep AND poisoned resume
+            # (the missing JSONL record made every resume re-run the same
+            # slow point and crash again).
+            wall = round(time.monotonic() - t0, 1)
+            rec = {"point": name, "knobs": delta, "wall_s": wall,
+                   "error": "timeout"}
+            with out.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"[sweep] {name}: TIMEOUT after {wall}s — skipping",
+                  file=sys.stderr, flush=True)
+            continue
         wall = round(time.monotonic() - t0, 1)
         rec = {"point": name, "knobs": delta, "wall_s": wall}
         if proc.returncode == 0:

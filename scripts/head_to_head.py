@@ -368,7 +368,7 @@ def compare(work: Path) -> dict:
         dsc = {}
         for s in structures:
             vals = [v for t, v in ref_scalars.items()
-                    if re.fullmatch(rf"MCMC/chain_\d+/DSC/{s}", t)]
+                    if re.fullmatch(rf"MCMC/chain_\d+/DSC/{re.escape(s)}", t)]
             if vals:
                 dsc[s] = round(float(np.mean(vals)), 4)
         gmm_scales = [v for t, v in sorted(ref_scalars.items())
@@ -394,7 +394,7 @@ def compare(work: Path) -> dict:
         dsc = {}
         for s in structures:
             vals = [v for t, v in ours_scalars.items()
-                    if re.fullmatch(rf"DSC/MCMC/chain_\d+/{s}", t)]
+                    if re.fullmatch(rf"DSC/MCMC/chain_\d+/{re.escape(s)}", t)]
             if vals:
                 dsc[s] = round(float(np.mean(vals)), 4)
         result.setdefault("ours", {}).update({
