@@ -131,7 +131,15 @@ def prepare_reference(work: Path) -> Path:
 
 
 def make_config(data_dir: Path, dims: int, iters: dict, save_dir: Path,
-                no_chains: int = 2) -> dict:
+                no_chains: int = 2, model: str = "svf",
+                cps: int | None = None) -> dict:
+    tmod = {"type": "SVF_3D", "args": {}}
+    if model == "svffd":
+        # experiment-5's control-grid model (reference
+        # utils/transformation.py:156-164, configs/experiment5/*.json);
+        # BOTH stacks read cps from this block (reference parse_config
+        # passes it to the data loader; ours does the same)
+        tmod = {"type": "SVFFD_3D", "args": {"cps": [int(cps or 2)] * 3}}
     return {
         "name": "head_to_head",
         "data_loss": {"type": "GMM", "args": {"no_components": 4, "s": 1}},
@@ -148,7 +156,7 @@ def make_config(data_dir: Path, dims: int, iters: dict, save_dir: Path,
         "reg_loss_scale_prior": {"type": "LogScaleNormalPrior",
                                  "args": {"loc": 2.8, "scale": 5.0}},
         "entropy_loss": {"type": "EntropyMultivariateNormal", "args": {}},
-        "transformation_module": {"type": "SVF_3D", "args": {}},
+        "transformation_module": tmod,
         "registration_module": {"type": "RegistrationModule", "args": {}},
         "optimizer_q_v": {"type": "Adam",
                           "args": {"lr_mu": 0.01, "lr_log_var": 0.01,
@@ -182,11 +190,12 @@ def make_config(data_dir: Path, dims: int, iters: dict, save_dir: Path,
     }
 
 
-def run_reference(work: Path, data_dir: Path, dims: int, iters: dict) -> Path:
+def run_reference(work: Path, data_dir: Path, dims: int, iters: dict,
+                  model: str = "svf", cps: int | None = None) -> Path:
     ref = prepare_reference(work)
     save_dir = work / "ref_out"
     save_dir.mkdir(exist_ok=True)
-    cfg = make_config(data_dir, dims, iters, save_dir)
+    cfg = make_config(data_dir, dims, iters, save_dir, model=model, cps=cps)
     cfg_path = work / "ref_config.json"
     cfg_path.write_text(json.dumps(cfg, indent=2))
 
@@ -216,10 +225,11 @@ def run_reference(work: Path, data_dir: Path, dims: int, iters: dict) -> Path:
 # stage 3: this framework
 # ---------------------------------------------------------------------------
 
-def run_ours(work: Path, data_dir: Path, dims: int, iters: dict) -> Path:
+def run_ours(work: Path, data_dir: Path, dims: int, iters: dict,
+             model: str = "svf", cps: int | None = None) -> Path:
     save_dir = work / "ours_out"
     save_dir.mkdir(exist_ok=True)
-    cfg = make_config(data_dir, dims, iters, save_dir)
+    cfg = make_config(data_dir, dims, iters, save_dir, model=model, cps=cps)
     cfg_path = work / "ours_config.json"
     cfg_path.write_text(json.dumps(cfg, indent=2))
 
@@ -287,13 +297,13 @@ def compare(work: Path) -> dict:
 
     result = {"work": str(work)}
 
-    def posterior_of(root: Path, label: str):
-        # reference: samples/MCMC_sample_{mean,std_dev}.vtk
-        # ours:      fields/MCMC_displacement_{mean,std_dev}.vtk
-        mean_p = (_find(root, "MCMC_sample_mean.vtk")
-                  or _find(root, "MCMC_displacement_mean.vtk"))
-        std_p = (_find(root, "MCMC_sample_std_dev.vtk")
-                 or _find(root, "MCMC_displacement_std_dev.vtk"))
+    def posterior_of(root: Path, label: str, phase: str = "MCMC"):
+        # reference: samples/{phase}_sample_{mean,std_dev}.vtk
+        # ours:      fields/{phase}_displacement_{mean,std_dev}.vtk
+        mean_p = (_find(root, f"{phase}_sample_mean.vtk")
+                  or _find(root, f"{phase}_displacement_mean.vtk"))
+        std_p = (_find(root, f"{phase}_sample_std_dev.vtk")
+                 or _find(root, f"{phase}_displacement_std_dev.vtk"))
         if not mean_p or not std_p:
             log(f"{label}: no posterior mean/std artifacts under {root}")
             return None
@@ -338,6 +348,40 @@ def compare(work: Path) -> dict:
                                                  np.ones_like(mask)), 4),
             "calibration_corr_moving": round(
                 _mask_corr(err_mag, std_mag, mask), 4),
+        }
+
+    # VI-phase posterior (VERDICT r4 weak #4: only the MCMC stacks were
+    # ever compared): the displacement-space q(v) pushforward — mean and
+    # per-voxel std over the VI test samples (sigma AND the rank-1 u both
+    # fold into that std; neither stack dumps raw q_v sigma/u fields)
+    vi_sides = {}
+    for label, root in (("reference", work / "ref_out"),
+                        ("ours", work / "ours_out")):
+        post = posterior_of(root, label, phase="VI")
+        if post is not None:
+            vi_sides[label] = post
+    if len(vi_sides) == 2:
+        (m_r, s_r), (m_o, s_o) = vi_sides["reference"], vi_sides["ours"]
+        all_mask = np.ones(m_r.shape[1:], dtype=bool)
+        result["vi_cross"] = {
+            "mean_corr": round(_mask_corr(
+                np.sqrt((m_r**2).sum(0)), np.sqrt((m_o**2).sum(0)),
+                all_mask), 4),
+            "mean_corr_per_component": [
+                round(_mask_corr(m_r[c], m_o[c], all_mask), 4)
+                for c in range(3)],
+            "std_corr": round(_mask_corr(
+                np.sqrt((s_r**2).sum(0)), np.sqrt((s_o**2).sum(0)),
+                all_mask), 4),
+            "std_scale_ratio_ours_over_ref": round(
+                float(np.sqrt((s_o**2).sum(0)).mean()
+                      / max(np.sqrt((s_r**2).sum(0)).mean(), 1e-9)), 4),
+            "mean_rmse_between_stacks_vox": round(
+                float(np.sqrt(((m_r - m_o) ** 2).sum(0).mean())), 4),
+            "vi_err_mean_vox": {
+                lbl: round(float(np.sqrt(
+                    ((m - disp_gt) ** 2).sum(0)).mean()), 4)
+                for lbl, (m, _s) in vi_sides.items()},
         }
 
     if "reference" in sides and "ours" in sides:
@@ -441,10 +485,21 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dims", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", default=None, metavar="A,B,C",
+                   help="run (or reuse) one full h2h per GT seed and print "
+                        "an aggregate with per-seed rows + spreads "
+                        "(VERDICT r4 weak #4: single-draw claims); a seed "
+                        "whose work dir already holds both stacks' "
+                        "artifacts is re-compared, not re-run")
     p.add_argument("--magnitude", type=float, default=4.0)
     p.add_argument("--work", default=None)
     p.add_argument("--quick", action="store_true",
                    help="reduced iteration counts (plumbing smoke)")
+    p.add_argument("--model", choices=["svf", "svffd"], default="svf",
+                   help="transformation model in BOTH stacks (svffd = "
+                        "experiment-5's control-grid model)")
+    p.add_argument("--cps", type=int, default=2,
+                   help="SVFFD control point spacing (voxels)")
     p.add_argument("--skip-ref", action="store_true")
     p.add_argument("--skip-ours", action="store_true")
     p.add_argument("--compare-only", default=None, metavar="DIR")
@@ -455,26 +510,79 @@ def main(argv=None):
         print(json.dumps(compare(work), indent=2))
         return
 
-    work = Path(args.work or f"/tmp/h2h_{args.dims}_{args.seed}")
-    work.mkdir(parents=True, exist_ok=True)
-
     if args.quick:
         iters = {"vi": 32, "vi_test": 4, "burn_in": 30, "samples": 60,
                  "thin": 10}
     else:
         iters = {"vi": 256, "vi_test": 10, "burn_in": 400, "samples": 800,
                  "thin": 40}
-    (work / "iters.json").write_text(json.dumps(iters))
 
-    data_dir = generate_pair(work, args.dims, args.seed, args.magnitude)
-    if not args.skip_ref:
-        run_reference(work, data_dir, args.dims, iters)
-    if not args.skip_ours:
-        run_ours(work, data_dir, args.dims, iters)
+    tag = "" if args.model == "svf" else f"_{args.model}{args.cps}"
 
-    result = compare(work)
-    (work / "result.json").write_text(json.dumps(result, indent=2))
-    print(json.dumps(result, indent=2))
+    def one_seed(seed: int) -> dict:
+        work = Path(args.work or f"/tmp/h2h_{args.dims}_{seed}{tag}")
+        work.mkdir(parents=True, exist_ok=True)
+        (work / "iters.json").write_text(json.dumps(iters))
+        have = lambda sub, pat: bool(_find(work / sub, pat))
+        data_dir = work / "data"
+        if not (data_dir / "000.nii.gz").exists():
+            data_dir = generate_pair(work, args.dims, seed, args.magnitude)
+        if not args.skip_ref and not have("ref_out", "MCMC_sample_mean.vtk"):
+            run_reference(work, data_dir, args.dims, iters,
+                          model=args.model, cps=args.cps)
+        elif have("ref_out", "MCMC_sample_mean.vtk"):
+            log(f"seed {seed}: reusing existing reference artifacts")
+        if not args.skip_ours and not have(
+                "ours_out", "MCMC_displacement_mean.vtk"):
+            run_ours(work, data_dir, args.dims, iters,
+                     model=args.model, cps=args.cps)
+        elif have("ours_out", "MCMC_displacement_mean.vtk"):
+            log(f"seed {seed}: reusing existing framework artifacts")
+        result = compare(work)
+        result["seed"] = seed
+        result["model"] = args.model
+        (work / "result.json").write_text(json.dumps(result, indent=2))
+        return result
+
+    if args.seeds is None:
+        print(json.dumps(one_seed(args.seed), indent=2))
+        return
+
+    seeds = [int(x) for x in args.seeds.split(",")]
+    rows = [one_seed(sd) for sd in seeds]
+
+    def spread(path):
+        vals = []
+        for r in rows:
+            node = r
+            for k in path.split("."):
+                node = (node or {}).get(k)
+            if node is not None:
+                vals.append(float(node))
+        if not vals:
+            return None
+        return {"values": [round(v, 4) for v in vals],
+                "mean": round(float(np.mean(vals)), 4),
+                "spread": round(float(np.max(vals) - np.min(vals)), 4)}
+
+    agg = {
+        "dims": args.dims, "model": args.model, "seeds": seeds,
+        "iters": iters,
+        "cross_mean_rmse_vox": spread("cross.mean_rmse_between_stacks_vox"),
+        "cross_mean_corr": spread("cross.mean_corr"),
+        "cross_std_corr": spread("cross.std_corr"),
+        "vi_cross_mean_corr": spread("vi_cross.mean_corr"),
+        "vi_cross_mean_rmse_vox": spread(
+            "vi_cross.mean_rmse_between_stacks_vox"),
+        "calibration_ref": spread("reference.calibration_corr"),
+        "calibration_ours": spread("ours.calibration_corr"),
+        "err_ref_vox": spread("reference.disp_err_mean_vox"),
+        "err_ours_vox": spread("ours.disp_err_mean_vox"),
+        "dsc_ref": spread("reference.final_dsc_mean"),
+        "dsc_ours": spread("ours.final_dsc_mean"),
+        "per_seed": rows,
+    }
+    print(json.dumps(agg, indent=2))
 
 
 if __name__ == "__main__":

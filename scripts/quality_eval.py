@@ -59,6 +59,14 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=150)
     p.add_argument("--chains", type=int, default=2)
     p.add_argument("--max-disp", type=int, default=8)
+    p.add_argument("--model", choices=["svf", "svffd"], default="svf",
+                   help="transformation model: dense SVF (experiment-1 "
+                        "default) or the B-spline-parameterised SVFFD "
+                        "(experiment-5, reference utils/transformation.py:"
+                        "156-164)")
+    p.add_argument("--cps", type=int, default=2,
+                   help="SVFFD control point spacing (voxels; experiment-5 "
+                        "ships cps 2 and 4)")
     p.add_argument("--seed", type=int, default=0,
                    help="GT-deformation seed (and trainer seed unless "
                         "--trainer-seed is given)")
@@ -152,6 +160,9 @@ def main(argv=None):
         "taylor_threshold": args.taylor_threshold,
         "use_gather": args.use_gather,
     }
+    if args.model == "svffd":
+        cfg["transformation_module"]["type"] = "SVFFD_3D"
+        cfg["transformation_module"]["args"]["cps"] = [args.cps] * 3
     if args.taylor_compositions is not None:
         cfg["transformation_module"]["args"]["taylor_compositions"] = {
             "on": True, "off": False, "split": "split",
@@ -197,11 +208,18 @@ def main(argv=None):
     config = Config(cfg, run_id="quality")
 
     la = cfg["data_loader"]["args"]
+    # q(v) lives on the control grid for SVFFD, on the voxel grid for SVF
+    if args.model == "svffd":
+        from ir_sgmcmc_tpu.ops.bspline import control_grid_size
+
+        q_dims = tuple(control_grid_size(dims, [args.cps] * 3))
+    else:
+        q_dims = dims
     q_v0 = {
-        "mu": np.zeros((3,) + dims, np.float32),
-        "log_var": np.full((3,) + dims,
+        "mu": np.zeros((3,) + q_dims, np.float32),
+        "log_var": np.full((3,) + q_dims,
                            2.0 * np.log(la["sigma_v_init"]), np.float32),
-        "u": np.full((3,) + dims, la["u_v_init"], np.float32),
+        "u": np.full((3,) + q_dims, la["u_v_init"], np.float32),
     }
     ds = _PairDataset(fixed, moving, q_v0, structures)
     ds.im_spacing = spacing
@@ -232,6 +250,8 @@ def main(argv=None):
 
     report = {
         "dims": args.dims,
+        "model": args.model,
+        "cps": args.cps if args.model == "svffd" else None,
         "phantom": args.phantom,
         "seed": args.seed,
         "trainer_seed": trainer_seed,
