@@ -137,7 +137,8 @@ def measure_torch_baseline(refresh: bool = False) -> dict:
     return stats
 
 
-def _make_bundle_and_pair(noise_scheme="pre", dims=None, **svf_kwargs):
+def _make_bundle_and_pair(noise_scheme="pre", dims=None, model="svf",
+                          cps=2, **svf_kwargs):
     """Experiment-1 model + synthetic 128^3 pair (shared by both phases).
 
     ``svf_kwargs`` forward to ``SVF3D`` (``unroll``, ``taylor_threshold``,
@@ -158,8 +159,16 @@ def _make_bundle_and_pair(noise_scheme="pre", dims=None, **svf_kwargs):
         SVF3D,
     )
     from ir_sgmcmc_tpu.models.reg_loss import RegLossLogNormal
+    from ir_sgmcmc_tpu.models.transformation import SVFFD3D
 
     dims = DIMS if dims is None else dims
+    if model == "svffd":
+        # experiment-5's control-grid model (B-spline-spread velocity, then
+        # the same integrator) — q(v)/chain state live on the control grid
+        transformation = SVFFD3D(dims, cps=[int(cps)] * 3, no_steps=12,
+                                 **svf_kwargs)
+    else:
+        transformation = SVF3D(dims, no_steps=12, **svf_kwargs)
     dof = 3.0 * dims[0] * dims[1] * dims[2]
     bundle = ModelBundle(
         dims=dims,
@@ -169,7 +178,7 @@ def _make_bundle_and_pair(noise_scheme="pre", dims=None, **svf_kwargs):
         reg_loss=RegLossLogNormal(w_reg=1.4, dims=dims, learnable=True),
         reg_loc_prior=LogEnergyExpGammaPrior(w_reg=1.4, dof=dof),
         reg_scale_prior=LogScaleNormalPrior(loc=2.8, scale=5.0),
-        transformation=SVF3D(dims, no_steps=12, **svf_kwargs),
+        transformation=transformation,
         sobolev_s=3,
         sobolev_lambda=0.5,
         uniform_noise_alpha=0.1,
@@ -184,7 +193,7 @@ def _make_bundle_and_pair(noise_scheme="pre", dims=None, **svf_kwargs):
 
 def measure_tpu(trace_dir: str | None = None, noise_scheme="pre",
                 anchored=False, anchor_radius=2, dims=None, chains=None,
-                **svf_kwargs) -> dict:
+                model="svf", cps=2, **svf_kwargs) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -195,6 +204,7 @@ def measure_tpu(trace_dir: str | None = None, noise_scheme="pre",
     _stage(f"device init: {jax.devices()[0].platform} "
            f"({len(jax.devices())} device(s))")
     bundle, fixed, moving = _make_bundle_and_pair(noise_scheme, dims=dims,
+                                                  model=model, cps=cps,
                                                   **svf_kwargs)
 
     opt_gmm = adam_decay(0.2, 0.001)
@@ -284,7 +294,7 @@ def _capture_trace(trace_dir, timed, state, jnp):
 
 
 def measure_vi(trace_dir: str | None = None, noise_scheme="pre", dims=None,
-               **svf_kwargs) -> dict:
+               model="svf", cps=2, **svf_kwargs) -> dict:
     """Time the VI iteration (VERDICT r2 weak #7 — bench.py timed MCMC only).
 
     One VI iteration = 2 antithetic forward+backward passes through the full
@@ -298,6 +308,7 @@ def measure_vi(trace_dir: str | None = None, noise_scheme="pre", dims=None,
     from ir_sgmcmc_tpu.optim import adam_decay
 
     bundle, fixed, moving = _make_bundle_and_pair(noise_scheme, dims=dims,
+                                                  model=model, cps=cps,
                                                   **svf_kwargs)
 
     # experiment-1 optimizer groups (configs/experiment1/config.json)
@@ -305,7 +316,7 @@ def measure_vi(trace_dir: str | None = None, noise_scheme="pre", dims=None,
     opt_gmm = adam_decay({"log_std": 0.2, "logits": 0.2}, 0.001)
     opt_reg = adam_decay({"loc": 0.01, "log_scale": 0.01}, 0.001)
 
-    shape = (3,) + bundle.dims
+    shape = (3,) + bundle.field_dims
     q_v0 = {
         "mu": jnp.zeros(shape, jnp.float32),
         "log_var": jnp.full(shape, 2.0 * float(jnp.log(0.5)), jnp.float32),
@@ -412,6 +423,12 @@ def main(argv=None):
                         help="chain count (default 2; 256^3 with 2 chains "
                              "exceeds one chip's 16 GB HBM - use 1, or "
                              "shard chains over a slice)")
+    parser.add_argument("--model", choices=["svf", "svffd"], default="svf",
+                        help="transformation model (svffd = experiment-5's "
+                             "control-grid model; non-canonical metric, no "
+                             "torch anchor)")
+    parser.add_argument("--cps", type=int, default=2,
+                        help="SVFFD control point spacing (voxels)")
     parser.add_argument("--dims", type=int, default=None, metavar="N",
                         help="cube edge length (default 128); the torch-CPU "
                              "anchor and vs_baseline are only reported at "
@@ -449,10 +466,12 @@ def main(argv=None):
     if args.phase == "vi":
         vi_dims = None if args.dims is None else (args.dims,) * 3
         vi = measure_vi(trace_dir=args.trace, noise_scheme=args.noise_scheme,
-                        dims=vi_dims, **svf_kwargs)
+                        dims=vi_dims, model=args.model, cps=args.cps,
+                        **svf_kwargs)
         trace = vi.pop("_trace", None)
+        mtag = "" if args.model == "svf" else f"_svffd{args.cps}"
         print(json.dumps({
-            "metric": f"vi_iters_per_sec_{args.dims or 128}cubed",
+            "metric": f"vi_iters_per_sec_{args.dims or 128}cubed{mtag}",
             "value": round(vi["iters_per_sec"], 3),
             "unit": "iters/sec",
             "spread_rel": round(vi["spread_rel"], 4),
@@ -464,7 +483,7 @@ def main(argv=None):
         return
 
     dims = None if args.dims is None else (args.dims,) * 3
-    if dims is not None and dims != DIMS:
+    if (dims is not None and dims != DIMS) or args.model != "svf":
         # non-canonical scale: no torch anchor (a single 256^3 torch-CPU
         # transition is ~2.5 minutes; the 20-transition protocol is
         # impractical) — report raw device throughput
@@ -472,11 +491,14 @@ def main(argv=None):
                           noise_scheme=args.noise_scheme,
                           anchored=args.anchor,
                           anchor_radius=args.anchor_radius, dims=dims,
-                          chains=args.chains, **svf_kwargs)
+                          chains=args.chains, model=args.model,
+                          cps=args.cps, **svf_kwargs)
         trace = tpu.pop("_trace", None)
         nch = CHAINS if args.chains is None else args.chains
+        mtag = "" if args.model == "svf" else f"_svffd{args.cps}"
         print(json.dumps({
-            "metric": f"sgmcmc_samples_per_sec_{args.dims}cubed_{nch}chains",
+            "metric": f"sgmcmc_samples_per_sec_{args.dims or 128}cubed"
+                      f"_{nch}chains{mtag}",
             "value": round(tpu["samples_per_sec"], 3),
             "unit": "samples/sec",
             "noise_scheme": args.noise_scheme,

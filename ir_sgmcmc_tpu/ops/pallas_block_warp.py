@@ -126,6 +126,19 @@ def _lane_shift_gather(s2, idx, W: int, max_shift: int):
     if W <= 128:
         return jnp.take_along_axis(s2, idx, axis=1)
     assert W % 128 == 0 and max_shift < 128
+    # Layout workaround (bisected on v5e Mosaic): the index here is
+    # row-invariant (lane iota + per-lane block profile), which Mosaic
+    # keeps in a 1-sublane-tile broadcast layout; the single-vreg gathers
+    # below then crash the compiler ("Check failed: limits[i] <= dim(i)
+    # (72 vs. 1)" — it walks SOURCE row-tiles and indexes the index array
+    # with the same tile counter).  A data-dependent select forces the
+    # index to adopt the source's multi-tile layout (a plain iota-axis-0
+    # summand and a `bitcast&0` summand both still crash — only consuming
+    # the source's values works).  Semantics: the select changes idx only
+    # where the source value is NaN (never for image volumes); a NaN site
+    # then reads lane 0 instead of its shifted lane, while NaN still
+    # propagates into the output through the blend weights.
+    idx = jnp.where(s2 != s2, 0, idx)
     K = W // 128
     outs = []
     for k in range(K):

@@ -49,6 +49,13 @@ POINTS = [
     ("burn_1200", {"burn-in": 1200}),
     ("burn_2400", {"burn-in": 2400}),
     ("burn_1200_samples_1400", {"burn-in": 1200, "samples": 1400}),
+    # VERDICT r4 #7: the saturation level rested on seed 0 alone — replicate
+    # the burn-in lever across trainer seeds (GT draw fixed, inference noise
+    # varies) to put a spread on the ~0.55 plateau
+    ("burn_1200_seed1", {"burn-in": 1200, "trainer-seed": 1}),
+    ("burn_1200_seed2", {"burn-in": 1200, "trainer-seed": 2}),
+    ("burn_2400_seed1", {"burn-in": 2400, "trainer-seed": 1}),
+    ("burn_2400_seed2", {"burn-in": 2400, "trainer-seed": 2}),
     ("samples_1400", {"samples": 1400}),
     ("noise_0.05", {"noise-alpha": 0.05}),
     ("noise_0.2", {"noise-alpha": 0.2}),

@@ -59,6 +59,12 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=150)
     p.add_argument("--chains", type=int, default=2)
     p.add_argument("--max-disp", type=int, default=8)
+    p.add_argument("--mcmc-init", choices=["VI", "identity", "noise"],
+                   default="VI",
+                   help="'identity'/'noise' run the experiment-4 MCMC-only "
+                        "cold start (no VI phase at all — reference "
+                        "trainer/trainer.py:586-611, "
+                        "configs/experiment4/*.json)")
     p.add_argument("--model", choices=["svf", "svffd"], default="svf",
                    help="transformation model: dense SVF (experiment-1 "
                         "default) or the B-spline-parameterised SVFFD "
@@ -172,7 +178,7 @@ def main(argv=None):
     trainer_seed = args.seed if args.trainer_seed is None else args.trainer_seed
     cfg["trainer"].update(
         save_dir=out_dir,
-        VI=True, MCMC=True, MCMC_init="VI",
+        VI=args.mcmc_init == "VI", MCMC=True, MCMC_init=args.mcmc_init,
         no_iters_VI=args.vi_iters,
         log_period_VI=max(16, args.vi_iters // 4),
         no_samples_VI_test=4,
@@ -250,6 +256,7 @@ def main(argv=None):
 
     report = {
         "dims": args.dims,
+        "mcmc_init": args.mcmc_init,
         "model": args.model,
         "cps": args.cps if args.model == "svffd" else None,
         "phantom": args.phantom,

@@ -43,7 +43,7 @@ def test_compiled_kernels_match_xla_oracles():
         pytest.skip("no TPU tunnel env (PALLAS_AXON_POOL_IPS unset)")
     out = subprocess.run(
         [sys.executable, str(REPO / "scripts" / "tpu_selftest.py")],
-        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=1500,
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=2400,
     )
     sys.stderr.write(out.stderr[-4000:])
     assert out.returncode in (0, 1), out.stderr[-2000:]
