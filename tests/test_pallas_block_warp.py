@@ -45,6 +45,10 @@ def _xla_fwd(vol, disp, bound, radius, block=8):
     # radius 3: the documented recovery lever for block-residual overflow
     # on rough posterior samples (BASELINE.md round 3, phantom seed 2)
     ((16, 16, 128), 9, 3, None),
+    # W > 128: the x-gather's per-128-lane-chunk decomposition
+    # (_lane_shift_gather — the round-4 256³ Mosaic regression's fix);
+    # compiled coverage is scripts/tpu_selftest.py's @256 checks
+    ((8, 8, 256), 9, 2, None),
 ])
 def test_block_warp_pallas_matches_xla(shape, bound, radius, chan):
     rng = np.random.default_rng(0)
