@@ -1,7 +1,14 @@
 """Benchmark: SG-MCMC sampling throughput at 128^3 (experiment-1 scale).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N, ...}
+    {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N,
+     "vi_iters_per_sec": N, ...}
+
+The default (canonical 128^3) emission carries BOTH phases — the MCMC
+headline and the VI iteration rate — mirroring the reference's two speed
+tests (trainer/trainer.py:276-289 and :467-476); the VI chunk is
+budget-gated and degrades to a "vi_error" tag rather than costing the
+headline.
 
 * value        — chains x transitions / sec of the full SGLD transition on
                  the attached accelerator (TPU under axon), 2 chains, 128^3,
@@ -51,6 +58,16 @@ TIMED_REPEATS = 3
 
 REPO = Path(__file__).resolve().parent
 BASELINE_CACHE = REPO / ".bench_baseline.json"
+VI_CACHE = REPO / ".bench_vi_cache.json"
+
+
+def _git_head() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=str(REPO), capture_output=True,
+            text=True, timeout=10).stdout.strip()
+    except Exception:
+        return ""
 
 # ---------------------------------------------------------------------------
 # Stage progress + watchdog (VERDICT r3 #1: BENCH_r03 timed out with ZERO
@@ -469,6 +486,12 @@ def main(argv=None):
                         dims=vi_dims, model=args.model, cps=args.cps,
                         **svf_kwargs)
         trace = vi.pop("_trace", None)
+        if vi_dims in (None, DIMS) and args.model == "svf":
+            VI_CACHE.write_text(json.dumps({
+                "git_head": _git_head(),
+                "vi_iters_per_sec": round(vi["iters_per_sec"], 3),
+                "vi_spread_rel": round(vi["spread_rel"], 4),
+            }))
         mtag = "" if args.model == "svf" else f"_svffd{args.cps}"
         print(json.dumps({
             "metric": f"vi_iters_per_sec_{args.dims or 128}cubed{mtag}",
@@ -534,10 +557,31 @@ def main(argv=None):
                 "vi_spread_rel": round(vi["spread_rel"], 4),
                 "vi_compile_warm_s": vi["warm_s"],
             }
+            if args.model == "svf":
+                VI_CACHE.write_text(json.dumps({
+                    "git_head": _git_head(),
+                    "vi_iters_per_sec": vi_fields["vi_iters_per_sec"],
+                    "vi_spread_rel": vi_fields["vi_spread_rel"],
+                }))
         except Exception as e:  # noqa: BLE001 — headline survives VI loss
             vi_fields = {"vi_error": f"{type(e).__name__}: {e}"[:300]}
     else:
         _stage(f"skipping VI phase ({_remaining():.0f}s left < 240)")
+    if "vi_iters_per_sec" not in vi_fields and VI_CACHE.exists():
+        # a cold compile can eat the whole --budget (Mosaic payloads embed
+        # kernel source locations, so ANY kernel-file edit invalidates the
+        # chunk executable in the persistent cache); fall back to the last
+        # measurement taken at THIS git revision, honestly tagged
+        try:
+            cached = json.loads(VI_CACHE.read_text())
+            if cached.get("git_head") == _git_head() and cached["git_head"]:
+                vi_fields.update({
+                    "vi_iters_per_sec": cached["vi_iters_per_sec"],
+                    "vi_spread_rel": cached.get("vi_spread_rel"),
+                    "vi_cached_same_head": True,
+                })
+        except Exception:
+            pass
 
     print(json.dumps({
         "metric": "sgmcmc_samples_per_sec_128cubed_2chains",
