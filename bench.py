@@ -62,9 +62,12 @@ VI_CACHE = REPO / ".bench_vi_cache.json"
 
 
 def _git_head() -> str:
+    """Revision key for the VI sidecar: tree hashes of the source that can
+    change the measurement (doc-only / PROGRESS commits must not stale it)."""
     try:
         return subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=str(REPO), capture_output=True,
+            ["git", "rev-parse", "HEAD:ir_sgmcmc_tpu", "HEAD:bench.py"],
+            cwd=str(REPO), capture_output=True,
             text=True, timeout=10).stdout.strip()
     except Exception:
         return ""
